@@ -1,0 +1,106 @@
+"""Dedup pipeline configuration.
+
+The reference (Qwant/addresses-importer) hard-codes its blocking/verify
+parameters: libpostal near-dupe hashing with geohash precision 5
+(deduplicator/src/lib/dedupe.rs:11-16), verification distance tiers of
+10 m / 100 m / 1 km (dedupe.rs:177-195), and a skew kill-switch at packs
+of > 5000 members (deduplicator/src/lib/deduplicator.rs:120-155).
+
+The graft re-expresses those as an explicit, frozen config so that (a)
+the recall-vs-reference contract is pinned to one parameterization and
+(b) every stage manifest records a config hash for checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import random
+from dataclasses import asdict, dataclass, field
+
+#: 2**31 - 1, Mersenne prime. Keeps (a*x + b) % MOD inside int64 even
+#: under ANSI arithmetic (a, x < 2**31 so a*x < 2**62).
+MINHASH_MOD = 2_147_483_647
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Parameters for the three detectors + clustering.
+
+    MinHash-LSH threshold ~= (1/bands)**(1/rows); with 16 bands x 4 rows
+    that is ~0.50 Jaccard, mirroring the reference's "lexically close
+    records share >= 1 blocking key" contract (dedupe.rs:36-59).
+    """
+
+    # --- transcript MinHash-LSH detector -------------------------------
+    shingle_width: int = 8          # char shingles over normalized text
+    num_perm: int = 64              # MinHash signature length
+    bands: int = 16                 # LSH bands
+    rows: int = 4                   # rows per band (bands*rows == num_perm)
+    minhash_mod: int = MINHASH_MOD
+    seed: int = 42
+    jaccard_threshold: float = 0.6  # verify threshold (exact Jaccard).
+    #   Sits between planted-dup similarity (>= ~0.75 under the
+    #   fixtures' lexical jitter) and adversarial controls (<= ~0.5,
+    #   the Avenue-vs-Route analog, with_dupes.sql:46-57)
+
+    # --- acoustic SimHash detector -------------------------------------
+    simhash_bits: int = 64
+    simhash_bands: int = 4          # 16-bit band slices
+    simhash_probe_bits: int = 1     # 1-bit multi-probe per band: both
+    #   sides also emit every single-bit flip of each band value, so by
+    #   pigeonhole any pair within Hamming <= 2*(probe+1)*bands/2 - 1 = 7
+    #   shares a key while slices stay 16-bit wide (scale-friendly
+    #   bucket cardinality vs shrinking the slices)
+    simhash_max_hamming: int = 6    # verify threshold (~= 10m/100m tiers).
+    #   SNR>=30dB re-renders measure <= 6 flipped bits; unrelated clips
+    #   >= ~8 even for adversarial fixtures (multi-probe blocking covers
+    #   up to Hamming 7, so verify at 6 never out-runs blocking recall)
+    n_mels: int = 32                # log-mel bands
+    frame_len: int = 512
+    hop_len: int = 256
+
+    # --- suffix / substring-containment detector -----------------------
+    suffix_bottom_k: int = 8        # bottom-k shingle sketch for blocking
+    min_containment_len: int = 24   # min normalized chars to be containable
+
+    # --- skew handling (reference: drop packs > 5000,
+    #     deduplicator.rs:120-155; we cap + count, never silently) ------
+    bucket_cap: int = 5000
+
+    # --- connected components ------------------------------------------
+    cc_max_iters: int = 25
+    cc_checkpoint_every: int = 4
+
+    # --- per-row invariants --------------------------------------------
+    snr_db_min: float = 30.0
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows != self.num_perm:
+            raise ValueError("bands * rows must equal num_perm")
+        if self.simhash_bits % self.simhash_bands != 0:
+            raise ValueError("simhash_bits must divide into simhash_bands")
+
+    def minhash_perms(self) -> list[tuple[int, int]]:
+        """Deterministic (a, b) pairs for h_i(x) = (a*x + b) % mod.
+
+        Seeded so Spark exprs and the DuckDB oracle SQL embed the very
+        same constants (recall-reproducibility requirement; SURVEY §7.4).
+        """
+        rng = random.Random(self.seed)
+        return [
+            (rng.randrange(1, self.minhash_mod), rng.randrange(0, self.minhash_mod))
+            for _ in range(self.num_perm)
+        ]
+
+    def config_hash(self) -> str:
+        """Stable hash identifying this parameterization (stage manifests)."""
+        payload = json.dumps(asdict(self), sort_keys=True)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()
+
+#: codec quality priority, mirroring the reference's source priority
+#: (deduplicator/src/lib/sources.rs:39-45: Bano=3 > OSM=2 > OpenAddresses=1).
+CODEC_PRIORITY: dict[str, int] = {"pcm_s16le": 3, "flac": 2, "opus": 1}

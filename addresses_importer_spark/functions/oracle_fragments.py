@@ -1,0 +1,75 @@
+"""DuckDB SQL fragments mirroring the Spark expression builders.
+
+Single source of truth for the correctness gate: the MinHash constants
+come from the same ``DedupConfig.minhash_perms()`` the Spark side uses,
+so the driver's Spark-vs-DuckDB comparison checks real bit-for-bit
+parity of the blocking math, not just row counts.
+
+Parity contract (verified in tests/test_hashing.py):
+  Spark  conv(substring(md5(s),1,15),16,10)::long
+  DuckDB ('0x' || substr(md5(s),1,15))::BIGINT
+"""
+
+from __future__ import annotations
+
+from ..config import DedupConfig
+
+
+def sql_md5_long(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def sql_normalize(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def sql_shingles(norm_expr: str, width: int) -> str:
+    """Distinct char shingles; empty list when text shorter than width."""
+    return (
+        f"CASE WHEN length({norm_expr}) >= {width} THEN "
+        f"list_distinct([substr({norm_expr}, i, {width}) "
+        f"for i in range(1, length({norm_expr}) - {width} + 2)]) "
+        f"ELSE [] END"
+    )
+
+
+def sql_base_hashes(shingles_expr: str, cfg: DedupConfig) -> str:
+    h = sql_md5_long("s")
+    return f"list_transform({shingles_expr}, s -> {h} % {cfg.minhash_mod})"
+
+
+def sql_minhash_signature(hashes_expr: str, cfg: DedupConfig) -> str:
+    """[min((a*x+b) % mod) for each perm] as a LIST(BIGINT)."""
+    mod = cfg.minhash_mod
+    mins = ", ".join(
+        f"list_min(list_transform({hashes_expr}, x -> ({a}*x + {b}) % {mod}))"
+        for (a, b) in cfg.minhash_perms()
+    )
+    return f"[{mins}]"
+
+
+def sql_band_keys(sig_expr: str, cfg: DedupConfig, detector: str = "minhash") -> str:
+    """list of struct(band, bucket_key) matching hashing.band_keys.
+
+    DuckDB lists are 1-indexed; Spark's sig_col[i] is 0-indexed, hence
+    the +1 offsets here.
+    """
+    entries = []
+    for b in range(cfg.bands):
+        vals = " || '_' || ".join(
+            f"({sig_expr})[{b * cfg.rows + i + 1}]::VARCHAR" for i in range(cfg.rows)
+        )
+        key_str = f"'{detector}:{b}' || '_' || {vals}"
+        entries.append(
+            f"{{'band': {b}, 'bucket_key': {sql_md5_long('(' + key_str + ')')}}}"
+        )
+    return "[" + ", ".join(entries) + "]"
+
+
+def sql_jaccard(a: str, b: str) -> str:
+    inter = f"len(list_intersect({a}, {b}))"
+    return (
+        f"(CASE WHEN len({a}) + len({b}) - {inter} > 0 "
+        f"THEN {inter}::DOUBLE / (len({a}) + len({b}) - {inter}) "
+        f"ELSE 0.0 END)"
+    )

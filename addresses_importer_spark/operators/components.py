@@ -1,0 +1,108 @@
+"""Stage 4 — connected components via alternating large-star/small-star.
+
+The reference's clustering is a greedy within-bucket transitive closure
+(deduplicator.rs:166-180: first/best pack member kept, others compared
+against kept representatives). Across buckets that greedy pass cannot
+merge; the graft generalizes it to true connected components over the
+verified-edge graph — the large-star/small-star algorithm of Kiveris et
+al. ("Connected Components in MapReduce and Beyond", SoCC'14), which
+converges in O(log n) rounds of pure DataFrame ops and is the standard
+scale-out CC for 10^12-node graphs.
+
+Component ids are the lexicographic-minimum member id — deterministic,
+mirroring the reference's (rank, id) deterministic tiebreak discipline
+(deduplicator.rs:157-164).
+
+Each round is two shuffles (groupBy min + join); lineage is truncated
+with localCheckpoint every ``cc_checkpoint_every`` rounds (SURVEY §7.4
+risk 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """(u, v) with u > v (edge directed large → small), self-loops
+    removed, distinct."""
+    u = F.greatest(F.col("src"), F.col("dst")).alias("u")
+    v = F.least(F.col("src"), F.col("dst")).alias("v")
+    return edges.select(u, v).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star: connect every strictly-larger neighbor of u to
+    min(Γ(u) ∪ {u}). edges in (u, v) any orientation → symmetric."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star on edges directed (u > v): for each u, link u and all
+    its smaller neighbors to m = min(Γ<(u))."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        relink.unionByName(self_link)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) sum: ANSI-safe (sum of int64 hashes over 10^12 rows
+    # stays far below 10^38, where a long sum would overflow)
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iters: int = 25,
+                         checkpoint_every: int = 4) -> DataFrame:
+    """verified edges (src, dst) → (clip_id, component).
+
+    Only clips appearing in at least one edge get a row; isolated clips
+    are implicit singletons (callers: survivors.py)."""
+    spark = edges.sparkSession
+    cur = _canonical(edges)
+    if not cur.take(1):
+        return spark.createDataFrame(
+            [], "clip_id string, component string"
+        )
+    prev_fp = None
+    for it in range(max_iters):
+        cur = _small_star(_large_star(cur))
+        # localCheckpoint eagerly every round: the convergence fingerprint
+        # needs an action anyway, and this truncates lineage so round k+1
+        # never recomputes rounds 1..k. (checkpoint_every kept for API
+        # compat; a reliable-checkpoint variant would batch rounds.)
+        cur = cur.localCheckpoint(eager=True)
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # converged: edges are (member, root); roots map to themselves
+    members = cur.select(F.col("u").alias("clip_id"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("clip_id"), F.col("v").alias("component"))
+    return members.unionByName(roots).distinct()

@@ -1,0 +1,218 @@
+"""Stage 1 — per-clip features + exploded blocking signatures.
+
+Graft of the reference's ingest pipeline (deduplicator.rs:288-305,
+348-420): one record → k blocking hashes, fanned out into the 1:N
+``_addresses_hashes`` table (db_hashes.rs:61-65). Here:
+
+  features(clip_id, rank, norm, shingle_hashes, minhash_sig, simhash)
+  signatures(clip_id, detector, band, bucket_key)
+
+- transcript MinHash + suffix bottom-k are pure JVM expressions
+  (whole-stage codegen; see functions/hashing.py);
+- audio SimHash is the one pandas UDF (Arrow-batched numpy FFT) — the
+  only stage that ever touches ``bytes``, so every later shuffle moves
+  signatures, never audio payloads (SURVEY §7.4 risk 3).
+
+Records with an empty blocking-key set are dropped exactly like the
+reference drops empty hash sets (deduplicator.rs:371-374).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+from ..config import CODEC_PRIORITY, DedupConfig
+from ..functions import audio as A
+from ..functions.hashing import band_keys, base_hashes, md5_long, minhash_signature
+from ..functions.text import char_shingles, normalize_text
+
+DETECTOR_MINHASH = "minhash"
+DETECTOR_SIMHASH = "simhash"
+DETECTOR_SUFFIX = "suffix"
+
+
+def rank_expr() -> F.Column:
+    """Quality rank = codec priority + completeness bonus, mirroring the
+    reference's `priority + completeness/(1+NB_FIELDS)` ranking
+    (sources.rs:86-88, tools/src/lib.rs:111-120). Deterministic."""
+    codec_prio = F.coalesce(
+        *[
+            F.when(F.col("codec") == c, F.lit(float(p)))
+            for c, p in CODEC_PRIORITY.items()
+        ],
+        F.lit(0.0),
+    )
+    completeness = (
+        F.col("transcript").isNotNull().cast("int")
+        + (F.coalesce(F.col("dur_ms"), F.lit(0)) > 0).cast("int")
+        + F.col("bytes").isNotNull().cast("int")
+    ).cast("double")
+    dur_bonus = F.least(
+        F.coalesce(F.col("dur_ms"), F.lit(0)).cast("double") / 60000.0, F.lit(1.0)
+    )
+    return codec_prio + completeness / 10.0 + dur_bonus / 100.0
+
+
+def audio_simhash_udf(cfg: DedupConfig):
+    """Arrow-batched pandas UDF: WAV bytes → 64-bit SimHash (int64).
+
+    NULL for undecodable payloads (codec gate) — those clips simply emit
+    no acoustic signatures, the reference's errors-side-channel pattern
+    (tools/src/lib.rs:262-277)."""
+    planes_broadcast = A.simhash_planes(cfg.n_mels, cfg.simhash_bits, cfg.seed)
+    n_mels, frame_len, hop_len = cfg.n_mels, cfg.frame_len, cfg.hop_len
+
+    @F.pandas_udf(LongType())
+    def _simhash(blobs: pd.Series, srs: pd.Series, codecs: pd.Series) -> pd.Series:
+        out = []
+        for blob, sr, codec in zip(blobs, srs, codecs):
+            if blob is None or sr is None:
+                out.append(None)
+                continue
+            try:
+                samples = A.decode_clip(bytes(blob), codec)
+                u = A.audio_simhash(samples, int(sr), planes_broadcast,
+                                    n_mels, frame_len, hop_len)
+                out.append(A.to_int64(u))
+            except (NotImplementedError, ValueError):
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return _simhash
+
+
+def build_features(clips: DataFrame, cfg: DedupConfig,
+                   with_audio: bool = True) -> DataFrame:
+    """Per-clip feature table. Drops `bytes` immediately after the
+    SimHash UDF — downstream stages shuffle only hashes/strings."""
+    norm = normalize_text(F.col("transcript"))
+    df = clips.select(
+        "clip_id",
+        rank_expr().alias("rank"),
+        norm.alias("norm"),
+        "bytes", "sr_hz", "codec", "dur_ms",
+    )
+    df = df.withColumn(
+        "shingle_hashes",
+        base_hashes(char_shingles(F.col("norm"), cfg.shingle_width), cfg),
+    )
+    if with_audio:
+        df = df.withColumn(
+            "simhash", audio_simhash_udf(cfg)(F.col("bytes"), F.col("sr_hz"), F.col("codec"))
+        )
+    else:
+        df = df.withColumn("simhash", F.lit(None).cast("long"))
+    df = df.withColumn(
+        "minhash_sig",
+        F.when(
+            F.size("shingle_hashes") > 0, minhash_signature(F.col("shingle_hashes"), cfg)
+        ),
+    )
+    return df.drop("bytes")
+
+
+def simhash_band_exprs(cfg: DedupConfig) -> list[F.Column]:
+    """Bit-slice the int64 SimHash into band values + 1-bit probe
+    variants, JVM-side.
+
+    Plain banding (geohash-cell-blocking analog, dedupe.rs:11-16) only
+    guarantees a shared key for Hamming < bands. With both sides also
+    emitting every single-bit flip of each band value (multi-probe /
+    HmSearch style), a pair within Hamming <= 2*bands - 1 is guaranteed
+    to collide: some band differs by <= 1 bit (pigeonhole), and a 1-bit
+    -different value is in the other side's probe set. Keeps slices
+    16-bit wide — bucket cardinality stays 2^16 per band instead of
+    collapsing to 2^8, which matters at 10^12 rows."""
+    width = cfg.simhash_bits // cfg.simhash_bands
+    mask = (1 << width) - 1
+    out = []
+    for b in range(cfg.simhash_bands):
+        val = F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+        variants = [val] + [
+            val.bitwiseXOR(F.lit(1 << i))
+            for i in range(width)
+            if cfg.simhash_probe_bits >= 1
+        ]
+        for v in variants:
+            key_str = F.concat_ws(
+                "_", F.lit(f"{DETECTOR_SIMHASH}:{b}"), v.cast("string")
+            )
+            out.append(
+                F.struct(F.lit(b).alias("band"), md5_long(key_str).alias("bucket_key"))
+            )
+    return out
+
+
+def suffix_band_exprs(cfg: DedupConfig) -> F.Column:
+    """Bottom-k shingle sketch as blocking keys for substring
+    containment: if short ⊂ long, every shingle of short (incl. its
+    minimal ones) appears in long, so the two share bottom-sketch
+    elements with high probability. Sorted-postings analog of a
+    distributed suffix array; verified by exact `contains` later."""
+    bottom = F.slice(F.array_sort(F.col("shingle_hashes")), 1, cfg.suffix_bottom_k)
+    return F.transform(
+        bottom,
+        lambda h: F.struct(
+            F.lit(-1).alias("band"),
+            md5_long(F.concat_ws("_", F.lit(DETECTOR_SUFFIX), h.cast("string"))).alias(
+                "bucket_key"
+            ),
+        ),
+    )
+
+
+def build_signatures(features: DataFrame, cfg: DedupConfig,
+                     detectors: tuple[str, ...] = (
+                         DETECTOR_MINHASH, DETECTOR_SIMHASH, DETECTOR_SUFFIX
+                     )) -> DataFrame:
+    """Explode per-clip blocking keys → (clip_id, detector, band,
+    bucket_key). The H2 fan-out (deduplicator.rs:369)."""
+    parts = []
+    if DETECTOR_MINHASH in detectors:
+        mh = (
+            features.filter(F.col("minhash_sig").isNotNull())
+            .select(
+                "clip_id",
+                F.explode(band_keys(F.col("minhash_sig"), cfg)).alias("e"),
+            )
+            .select(
+                "clip_id",
+                F.lit(DETECTOR_MINHASH).alias("detector"),
+                F.col("e.band").alias("band"),
+                F.col("e.bucket_key").alias("bucket_key"),
+            )
+        )
+        parts.append(mh)
+    if DETECTOR_SIMHASH in detectors:
+        sh = (
+            features.filter(F.col("simhash").isNotNull())
+            .select("clip_id", F.explode(F.array(*simhash_band_exprs(cfg))).alias("e"))
+            .select(
+                "clip_id",
+                F.lit(DETECTOR_SIMHASH).alias("detector"),
+                F.col("e.band").alias("band"),
+                F.col("e.bucket_key").alias("bucket_key"),
+            )
+        )
+        parts.append(sh)
+    if DETECTOR_SUFFIX in detectors:
+        sx = (
+            features.filter(
+                (F.size("shingle_hashes") > 0)
+                & (F.length("norm") >= cfg.min_containment_len)
+            )
+            .select("clip_id", F.explode(suffix_band_exprs(cfg)).alias("e"))
+            .select(
+                "clip_id",
+                F.lit(DETECTOR_SUFFIX).alias("detector"),
+                F.col("e.band").alias("band"),
+                F.col("e.bucket_key").alias("bucket_key"),
+            )
+        )
+        parts.append(sx)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

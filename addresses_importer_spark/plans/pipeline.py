@@ -1,0 +1,161 @@
+"""End-to-end dedup pipeline: the graft of bin/main.rs:90-193.
+
+    clips ──ingest(valid/errors)──► features ──► signatures
+          ──► candidates ──► verified_edges ──► components
+          ──► losers ──► survivors (+ export, metrics)
+
+Each stage checkpoints to parquet with a manifest (sources/checkpoint.py)
+so a killed run resumes mid-stage — the reference's
+SQLite-file-as-stage-boundary made explicit (SURVEY §3.1).
+
+Scale notes (100 TB / 10^12 rows):
+- `bytes` is read exactly once (SimHash UDF inside the features stage)
+  and never shuffled; all later stages move only int64 hashes + ids.
+- candidates is ONE shuffle (groupBy bucket_key, map-side combine into
+  collect_set) with the reference's 5000-member skew cap
+  (deduplicator.rs:120-155) applied before pair expansion — worst-case
+  pairs per bucket is bounded, and AQE splits skewed reduce tasks.
+- verify is two broadcast-capable hash joins of candidates against the
+  slim features table (no audio, no signature arrays beyond shingles).
+- CC rounds are O(log n) self-joins on an edge table that is ~the
+  number of verified duplicate pairs, orders of magnitude smaller than
+  the corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import DedupConfig
+from ..operators.candidates import build_candidates, bucket_groups
+from ..operators.components import connected_components
+from ..operators.signatures import build_features, build_signatures
+from ..operators.survivors import apply_deletions, pick_losers, survivor_table
+from ..operators.verify import verify_edges
+from ..sources.checkpoint import CheckpointStore
+from ..sources.clips import split_valid
+
+STAGES = [
+    "errors", "features", "signatures", "candidates",
+    "verified_edges", "components", "losers", "survivors",
+]
+
+
+@dataclass
+class PipelineResult:
+    survivors: DataFrame
+    components: DataFrame
+    losers: DataFrame
+    verified_edges: DataFrame
+    errors: DataFrame
+    metrics: dict = field(default_factory=dict)
+    resumed_stages: list = field(default_factory=list)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    clips: DataFrame,
+    cfg: DedupConfig,
+    checkpoint_dir: str,
+    detectors: tuple[str, ...] = ("minhash", "simhash", "suffix"),
+    with_audio: bool = True,
+) -> PipelineResult:
+    store = CheckpointStore(checkpoint_dir, cfg.config_hash())
+    resumed: list[str] = []
+    metrics: dict = {}
+
+    def track(res):
+        if res.resumed:
+            resumed.append(res.stage)
+        metrics[f"rows:{res.stage}"] = res.rows
+        return res.df
+
+    valid, errors = split_valid(clips)
+    errors_df = track(store.run_stage(spark, "errors", [], lambda: errors))
+
+    features = track(
+        store.run_stage(
+            spark, "features", [],
+            lambda: build_features(valid, cfg, with_audio=with_audio),
+        )
+    )
+
+    signatures = track(
+        store.run_stage(
+            spark, "signatures", ["features"],
+            lambda: build_signatures(features, cfg, detectors=detectors),
+            partition_by=["detector"],
+        )
+    )
+
+    # oversize-bucket counters (reference logs dropped packs,
+    # deduplicator.rs:141-147; we count them into the manifest)
+    def compute_candidates():
+        over = (
+            bucket_groups(signatures)
+            .filter(F.col("n") > cfg.bucket_cap)
+            .groupBy("detector")
+            .agg(F.count("*").alias("buckets"), F.sum("n").alias("rows"))
+            .collect()
+        )
+        metrics["oversize_buckets"] = {
+            r["detector"]: {"buckets": r["buckets"], "rows": r["rows"]} for r in over
+        }
+        return build_candidates(signatures, cfg)
+
+    candidates = track(
+        store.run_stage(
+            spark, "candidates", ["signatures"], compute_candidates,
+            counters=metrics.get("oversize_buckets"),
+        )
+    )
+
+    verified = track(
+        store.run_stage(
+            spark, "verified_edges", ["candidates", "features"],
+            lambda: verify_edges(candidates, features, cfg),
+        )
+    )
+
+    components = track(
+        store.run_stage(
+            spark, "components", ["verified_edges"],
+            lambda: connected_components(
+                verified.select("src", "dst"),
+                max_iters=cfg.cc_max_iters,
+                checkpoint_every=cfg.cc_checkpoint_every,
+            ),
+        )
+    )
+
+    ranks = features.select("clip_id", "rank")
+    losers = track(
+        store.run_stage(
+            spark, "losers", ["components", "features"],
+            lambda: pick_losers(components, ranks),
+        )
+    )
+
+    survivors = track(
+        store.run_stage(
+            spark, "survivors", ["losers"],
+            lambda: apply_deletions(valid, losers),
+        )
+    )
+
+    return PipelineResult(
+        survivors=survivors,
+        components=components,
+        losers=losers,
+        verified_edges=verified,
+        errors=errors_df,
+        metrics=metrics,
+        resumed_stages=resumed,
+    )
+
+
+def representatives(components: DataFrame, features: DataFrame) -> DataFrame:
+    """Expose survivor_table for diagnostics/recall tooling."""
+    return survivor_table(components, features.select("clip_id", "rank"))

@@ -1,0 +1,66 @@
+"""Checkpoint/resume: the kill-and-resume contract (BASELINE.json;
+the reference's `--keep` + SQLite-file-as-stage-boundary,
+bin/main.rs:90-103)."""
+
+import json
+import os
+
+from addresses_importer_spark.config import DedupConfig
+from addresses_importer_spark.datagen import fixture_with_dupes, to_spark
+from addresses_importer_spark.plans.pipeline import STAGES, run_pipeline
+
+CFG = DedupConfig()
+
+
+def test_rerun_resumes_all_stages(spark, tmp_path):
+    pdf, truth = fixture_with_dupes()
+    clips = to_spark(spark, pdf)
+    ckpt = str(tmp_path / "ck")
+    first = run_pipeline(spark, clips, CFG, ckpt)
+    assert first.resumed_stages == []
+    n1 = first.survivors.count()
+
+    second = run_pipeline(spark, clips, CFG, ckpt)
+    assert set(second.resumed_stages) == set(STAGES)
+    assert second.survivors.count() == n1
+
+
+def test_mid_stage_kill_resumes_tail_only(spark, tmp_path):
+    """Simulate a crash after `signatures`: later stages lack manifests;
+    a rerun must reuse the early checkpoints and recompute only the
+    tail."""
+    pdf, truth = fixture_with_dupes()
+    clips = to_spark(spark, pdf)
+    ckpt = str(tmp_path / "ck")
+    run_pipeline(spark, clips, CFG, ckpt)
+
+    for stage in ["candidates", "verified_edges", "components", "losers",
+                  "survivors"]:
+        os.remove(os.path.join(ckpt, stage, "MANIFEST.json"))
+
+    res = run_pipeline(spark, clips, CFG, ckpt)
+    assert set(res.resumed_stages) == {"errors", "features", "signatures"}
+    assert res.survivors.count() == 10
+
+
+def test_config_change_invalidates(spark, tmp_path):
+    pdf, truth = fixture_with_dupes()
+    clips = to_spark(spark, pdf)
+    ckpt = str(tmp_path / "ck")
+    run_pipeline(spark, clips, CFG, ckpt)
+    res = run_pipeline(
+        spark, clips, DedupConfig(jaccard_threshold=0.7), ckpt
+    )
+    assert res.resumed_stages == []
+
+
+def test_manifest_contents(spark, tmp_path):
+    pdf, truth = fixture_with_dupes()
+    clips = to_spark(spark, pdf)
+    ckpt = str(tmp_path / "ck")
+    run_pipeline(spark, clips, CFG, ckpt)
+    with open(os.path.join(ckpt, "signatures", "MANIFEST.json")) as f:
+        m = json.load(f)
+    assert m["config_hash"] == CFG.config_hash()
+    assert m["rows"] > 0
+    assert m["upstream"]["features"]
