@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: the full MinHash-LSH dedup survivors query over
+               the derived documents corpus at sf0.001.
+queries()    — every implemented operator surface from SURVEY.md §2,
+               each with a DuckDB oracle in oracle_sql(); the dedup
+               chain (signatures → candidates → verify → CC →
+               survivors) runs MY real operators, and the oracle
+               replicates the exact md5-based hash math (see
+               addresses_importer_spark/functions/oracle_fragments.py).
+oracle_sql() — ANSI SQL oracles (DuckDB) keyed identically.
+
+Audio-path operators (SimHash detector, PCM decode, full checkpointed
+pipeline) have no SQL-expressible oracle — they are covered by
+tests/ golden fixtures (pytest) and bench.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from addresses_importer_spark.plans.driver_queries import (  # noqa: E402
+    ORACLES, QUERIES, q_dedup_survivors,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_dedup_survivors(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

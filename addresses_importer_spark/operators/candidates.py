@@ -53,15 +53,30 @@ def oversize_metrics(groups: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+#: buckets up to this size expand pairs via a JVM array comprehension in
+#: one task row (<= ~2k structs); larger buckets go through a self-join
+#: so the pair set is produced across many tasks instead of one giant
+#: in-memory array (a 5000-member bucket is 12.5M pairs — never build
+#: that inside a single row).
+PAIR_EXPAND_MAX = 64
+
+
 def build_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(src, dst, detector) with src < dst, distinct.
 
-    Pair expansion is a JVM array comprehension over the sorted member
-    list:  flatten(transform(m, (x,i) -> transform(slice(m, i+2, n), y
-    -> (x,y)))). Buckets above bucket_cap are excluded (capped), as the
-    reference drops oversize packs (deduplicator.rs:120-135)."""
+    Hybrid pair generation:
+    - small buckets (n <= PAIR_EXPAND_MAX, the overwhelming majority
+      under a healthy LSH config): flatten(transform(...)) over the
+      sorted member array — one shuffle total, no join;
+    - large buckets (PAIR_EXPAND_MAX < n <= bucket_cap): exploded back
+      to rows and self-joined on bucket_key, letting AQE split the skew;
+    - oversize buckets (n > bucket_cap): dropped, as the reference drops
+      packs > 5000 (deduplicator.rs:120-135) — counted by the caller.
+    """
     groups = bucket_groups(signatures).filter(F.col("n") <= cfg.bucket_cap)
-    pairs = F.flatten(
+
+    small = groups.filter(F.col("n") <= PAIR_EXPAND_MAX)
+    pairs_small = F.flatten(
         F.transform(
             F.col("members"),
             lambda x, i: F.transform(
@@ -70,8 +85,31 @@ def build_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
             ),
         )
     )
-    return (
-        groups.select("detector", F.explode(pairs).alias("p"))
+    small_pairs = (
+        small.select("detector", F.explode(pairs_small).alias("p"))
         .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"), "detector")
-        .dropDuplicates(["src", "dst", "detector"])
+    )
+
+    large = groups.filter(F.col("n") > PAIR_EXPAND_MAX)
+    lmembers = large.select(
+        "detector", "bucket_key", F.explode("members").alias("clip_id")
+    )
+    l = lmembers.alias("l")
+    r = lmembers.alias("r")
+    large_pairs = (
+        l.join(
+            r,
+            (F.col("l.detector") == F.col("r.detector"))
+            & (F.col("l.bucket_key") == F.col("r.bucket_key"))
+            & (F.col("l.clip_id") < F.col("r.clip_id")),
+        )
+        .select(
+            F.col("l.clip_id").alias("src"),
+            F.col("r.clip_id").alias("dst"),
+            F.col("l.detector").alias("detector"),
+        )
+    )
+
+    return small_pairs.unionByName(large_pairs).dropDuplicates(
+        ["src", "dst", "detector"]
     )

@@ -85,7 +85,10 @@ def connected_components(edges: DataFrame, max_iters: int = 25,
     Only clips appearing in at least one edge get a row; isolated clips
     are implicit singletons (callers: survivors.py)."""
     spark = edges.sparkSession
-    cur = _canonical(edges)
+    # eager materialization up front: the emptiness probe below is an
+    # action, and round 1 would otherwise recompute the caller's entire
+    # upstream chain a second time
+    cur = _canonical(edges).localCheckpoint(eager=True)
     if not cur.take(1):
         return spark.createDataFrame(
             [], "clip_id string, component string"

@@ -96,7 +96,12 @@ def build_features(clips: DataFrame, cfg: DedupConfig,
     )
     df = df.withColumn(
         "shingle_hashes",
-        base_hashes(char_shingles(F.col("norm"), cfg.shingle_width), cfg),
+        # distinct: shingles are already distinct, but 31-bit base hashes
+        # can collide; set semantics keep Jaccard sizes exact (and match
+        # the DuckDB oracle's list_distinct)
+        F.array_distinct(
+            base_hashes(char_shingles(F.col("norm"), cfg.shingle_width), cfg)
+        ),
     )
     if with_audio:
         df = df.withColumn(

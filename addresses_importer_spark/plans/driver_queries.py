@@ -1,0 +1,759 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle SQL.
+
+Each entry runs MY operators over the driver's parquet tables and has a
+bit-for-bit DuckDB oracle (same md5-based hash math, same constants from
+DedupConfig — see functions/oracle_fragments.py). The dedup-pipeline
+queries run over a derived corpus of `documents ∪ truncated copies`
+(SQL-expressible in both engines) so candidate/verify/CC paths are
+exercised on real collisions, mirroring the reference's golden-fixture
+strategy (deduplicator/data/tests/with_dupes.sql).
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the SQL (the driver sorts columns by name before
+value-hashing). Output typing discipline: integer/string columns
+wherever possible; doubles only where unavoidable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..config import DedupConfig
+from ..functions import oracle_fragments as O
+from ..functions.hashing import md5_long
+from ..functions.text import normalize_text, token_count
+from ..operators.candidates import build_candidates
+from ..operators.components import connected_components
+from ..operators.signatures import (
+    DETECTOR_MINHASH, DETECTOR_SUFFIX, build_features, build_signatures,
+)
+from ..operators.survivors import apply_deletions, pick_losers
+from ..operators.verify import verify_edges
+
+CFG = DedupConfig()
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "dans"],
+}
+
+COPY_OFFSET = 1_000_000
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# derived dedup corpus: documents ∪ 80%-prefix copies of every 5th doc
+# ---------------------------------------------------------------------------
+
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clips-shaped frame: clip_id = lpad(doc_id, 9), transcript = text;
+    every doc_id % 5 == 0 also yields a truncated (80%-prefix) copy —
+    a planted near-dup + substring-containment pair."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("clip_id"),
+        F.col("text").alias("transcript"),
+    )
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.lpad((F.col("doc_id") + COPY_OFFSET).cast("string"), 9, "0").alias("clip_id"),
+        F.substring(
+            F.col("text"), 1, F.floor(F.length("text") * 4 / 5).cast("int")
+        ).alias("transcript"),
+    )
+    df = base.unionByName(copies)
+    return df.select(
+        "clip_id",
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(None).cast("int").alias("sr_hz"),
+        F.lit(None).cast("int").alias("dur_ms"),
+        F.lit(None).cast("string").alias("codec"),
+        "transcript",
+    )
+
+
+# --- oracle CTE fragments (composed per query) ------------------------------
+
+_CTE_CORPUS = f"""corpus AS (
+    SELECT lpad(doc_id::VARCHAR, 9, '0') AS clip_id, text AS transcript
+    FROM documents
+    UNION ALL
+    SELECT lpad((doc_id + {COPY_OFFSET})::VARCHAR, 9, '0'),
+           substr(text, 1, floor(length(text) * 4 / 5)::INT)
+    FROM documents WHERE doc_id % 5 = 0
+)"""
+
+# MATERIALIZED: DuckDB inlines CTEs by default, which would recompute
+# the shingle/minhash lambdas once per downstream reference (64 band-key
+# references x 64-perm signature = a 4096x blowup observed at 116 s for
+# 600 rows). Materializing pins each expensive expression to one
+# evaluation per row.
+_CTE_FEATS = f"""normed AS MATERIALIZED (
+    SELECT clip_id, {O.sql_normalize('transcript')} AS norm FROM corpus
+),
+feats AS MATERIALIZED (
+    SELECT clip_id, norm,
+           list_distinct({O.sql_base_hashes(O.sql_shingles('norm', CFG.shingle_width), CFG)}) AS hashes
+    FROM normed
+)"""
+
+_CTE_SIGS_MINHASH = f"""sig_t AS MATERIALIZED (
+    SELECT clip_id, {O.sql_minhash_signature('hashes', CFG)} AS sig
+    FROM feats WHERE len(hashes) > 0
+),
+sigs AS MATERIALIZED (
+    SELECT clip_id, 'minhash' AS detector, e.band AS band,
+           e.bucket_key AS bucket_key
+    FROM (
+        SELECT clip_id, unnest({O.sql_band_keys('sig', CFG)}) AS e
+        FROM sig_t
+    )
+)"""
+
+_CTE_SIGS_SUFFIX = f"""sigs AS MATERIALIZED (
+    SELECT clip_id, 'suffix' AS detector, -1 AS band,
+           {O.sql_md5_long("('suffix' || '_' || h::VARCHAR)")} AS bucket_key
+    FROM (
+        SELECT f.clip_id AS clip_id, unnest(list_sort(f.hashes)[1:{CFG.suffix_bottom_k}]) AS h
+        FROM feats f
+        WHERE len(f.hashes) > 0 AND length(f.norm) >= {CFG.min_containment_len}
+    )
+)"""
+
+# self-join pair generation with the reference's bucket cap
+# (deduplicator.rs:120-135: packs above the cap contribute nothing)
+_CTE_CANDS = f"""sizes AS (
+    SELECT detector, bucket_key, count(DISTINCT clip_id) AS n
+    FROM sigs GROUP BY detector, bucket_key
+    HAVING count(DISTINCT clip_id) BETWEEN 2 AND {CFG.bucket_cap}
+),
+cands AS (
+    SELECT DISTINCT a.clip_id AS src, b.clip_id AS dst, a.detector AS detector
+    FROM sigs a
+    JOIN sigs b ON a.bucket_key = b.bucket_key AND a.detector = b.detector
+               AND a.clip_id < b.clip_id
+    JOIN sizes s ON s.bucket_key = a.bucket_key AND s.detector = a.detector
+)"""
+
+_CTE_VERIFIED_MINHASH = f"""verified AS (
+    SELECT c.src AS src, c.dst AS dst
+    FROM cands c
+    JOIN feats fa ON fa.clip_id = c.src
+    JOIN feats fb ON fb.clip_id = c.dst
+    WHERE len(fa.hashes) > 0 AND len(fb.hashes) > 0
+      AND {O.sql_jaccard('fa.hashes', 'fb.hashes')} >= {CFG.jaccard_threshold}
+)"""
+
+_CTE_VERIFIED_SUFFIX = f"""verified AS (
+    SELECT c.src AS src, c.dst AS dst
+    FROM cands c
+    JOIN feats fa ON fa.clip_id = c.src
+    JOIN feats fb ON fb.clip_id = c.dst
+    WHERE length(CASE WHEN length(fa.norm) <= length(fb.norm)
+                      THEN fa.norm ELSE fb.norm END) >= {CFG.min_containment_len}
+      AND contains(
+            CASE WHEN length(fa.norm) <= length(fb.norm) THEN fb.norm ELSE fa.norm END,
+            CASE WHEN length(fa.norm) <= length(fb.norm) THEN fa.norm ELSE fb.norm END)
+)"""
+
+# min-label propagation to fixpoint (recursive CTE) — the CC oracle
+_CTE_COMPONENTS = """sym AS (
+    SELECT src AS u, dst AS v FROM verified
+    UNION
+    SELECT dst, src FROM verified
+),
+lab AS (
+    SELECT u AS node, least(u, min(v)) AS label FROM sym GROUP BY u
+    UNION
+    SELECT s.u, l.label
+    FROM sym s JOIN lab l ON l.node = s.v
+    WHERE l.label < s.u
+),
+components AS (
+    SELECT node AS clip_id, min(label) AS component FROM lab GROUP BY node
+)"""
+
+
+def _with(parts: list[str], select: str, recursive: bool = False) -> str:
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"{kw} {', '.join(parts)} {select}"
+
+
+# ---------------------------------------------------------------------------
+# dedup pipeline queries (Spark side uses the real operators)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: first-writer-wins on md5(text) —
+    the reference's PK-constraint upsert (utils.rs:185-196)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS survivor_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _corpus_feats_sigs(spark, sf_dir, detectors):
+    """Features/signatures with lineage truncation: the MinHash column is
+    referenced many times downstream (dual verify joins, CC rounds,
+    loser pick) — without materialization each action would recompute
+    the full 64-perm chain (observed: >8 min for what runs in ~20 s
+    checkpointed). run_pipeline gets the same effect from its parquet
+    stage checkpoints; composed one-shot queries use localCheckpoint."""
+    corpus = corpus_df(spark, sf_dir)
+    feats = build_features(corpus, CFG, with_audio=False).localCheckpoint(eager=False)
+    sigs = build_signatures(feats, CFG, detectors=detectors).localCheckpoint(
+        eager=False
+    )
+    return corpus, feats, sigs
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1/H2 graft: per-clip banded MinHash keys, exploded 1:N
+    (dedupe.rs:61-86; db_hashes.rs:61-65)."""
+    _, _, sigs = _corpus_feats_sigs(spark, sf_dir, (DETECTOR_MINHASH,))
+    return sigs.select("clip_id", "detector", "band", "bucket_key")
+
+
+SQL_MINHASH_SIGNATURES = _with(
+    [_CTE_CORPUS, _CTE_FEATS, _CTE_SIGS_MINHASH],
+    "SELECT clip_id, detector, band, bucket_key FROM sigs",
+)
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 graft: bucket-collision candidate pairs (db_hashes.rs:484-513)."""
+    _, _, sigs = _corpus_feats_sigs(spark, sf_dir, (DETECTOR_MINHASH,))
+    return build_candidates(sigs, CFG).select("src", "dst", "detector")
+
+
+SQL_LSH_CANDIDATES = _with(
+    [_CTE_CORPUS, _CTE_FEATS, _CTE_SIGS_MINHASH, _CTE_CANDS],
+    "SELECT src, dst, detector FROM cands",
+)
+
+
+def q_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 graft: candidates surviving exact-Jaccard verification
+    (dedupe.rs:129-198)."""
+    _, feats, sigs = _corpus_feats_sigs(spark, sf_dir, (DETECTOR_MINHASH,))
+    cands = build_candidates(sigs, CFG)
+    return (
+        verify_edges(cands, feats, CFG)
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+SQL_VERIFIED_PAIRS = _with(
+    [_CTE_CORPUS, _CTE_FEATS, _CTE_SIGS_MINHASH, _CTE_CANDS, _CTE_VERIFIED_MINHASH],
+    "SELECT DISTINCT src, dst FROM verified",
+)
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 graft: large-star/small-star CC labels vs a recursive
+    min-label-propagation oracle."""
+    edges = q_verified_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    return connected_components(edges, CFG.cc_max_iters, CFG.cc_checkpoint_every)
+
+
+SQL_DEDUP_COMPONENTS = _with(
+    [_CTE_CORPUS, _CTE_FEATS, _CTE_SIGS_MINHASH, _CTE_CANDS,
+     _CTE_VERIFIED_MINHASH, _CTE_COMPONENTS],
+    "SELECT clip_id, component FROM components",
+    recursive=True,
+)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C4/J3 graft: per-component survivor pick (equal ranks on this
+    corpus → max clip_id wins, deduplicator.rs:157-164 tiebreak) +
+    LEFT ANTI deletion (db_hashes.rs:306-319)."""
+    corpus, feats, sigs = _corpus_feats_sigs(spark, sf_dir, (DETECTOR_MINHASH,))
+    cands = build_candidates(sigs, CFG)
+    verified = verify_edges(cands, feats, CFG).select("src", "dst").localCheckpoint(
+        eager=False
+    )
+    comps = connected_components(verified, CFG.cc_max_iters, CFG.cc_checkpoint_every)
+    losers = pick_losers(comps, feats.select("clip_id", "rank"))
+    return apply_deletions(corpus, losers).select("clip_id")
+
+
+SQL_DEDUP_SURVIVORS = _with(
+    [_CTE_CORPUS, _CTE_FEATS, _CTE_SIGS_MINHASH, _CTE_CANDS,
+     _CTE_VERIFIED_MINHASH, _CTE_COMPONENTS],
+    """
+    SELECT c.clip_id AS clip_id
+    FROM corpus c
+    LEFT JOIN (
+        SELECT clip_id FROM (
+            SELECT clip_id,
+                   row_number() OVER (
+                       PARTITION BY component ORDER BY clip_id DESC
+                   ) AS rn
+            FROM components
+        ) WHERE rn > 1
+    ) losers ON losers.clip_id = c.clip_id
+    WHERE losers.clip_id IS NULL
+    """,
+    recursive=True,
+)
+
+
+def q_suffix_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix/containment detector: bottom-k sketch blocking + exact
+    substring verify (the distributed-suffix-array graft)."""
+    _, feats, sigs = _corpus_feats_sigs(spark, sf_dir, (DETECTOR_SUFFIX,))
+    cands = build_candidates(sigs, CFG)
+    return (
+        verify_edges(cands, feats, CFG)
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+SQL_SUFFIX_VERIFIED = _with(
+    [_CTE_CORPUS, _CTE_FEATS, _CTE_SIGS_SUFFIX, _CTE_CANDS, _CTE_VERIFIED_SUFFIX],
+    "SELECT DISTINCT src, dst FROM verified",
+)
+
+
+def q_collision_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 graft: GROUP BY hash HAVING count>1 + outer SUM
+    (db_hashes.rs:197-213)."""
+    _, _, sigs = _corpus_feats_sigs(spark, sf_dir, (DETECTOR_MINHASH,))
+    return (
+        sigs.groupBy("bucket_key")
+        .agg(F.countDistinct("clip_id").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("colliding_rows"),
+            F.count("*").alias("colliding_buckets"),
+        )
+    )
+
+
+SQL_COLLISION_COUNT = _with(
+    [_CTE_CORPUS, _CTE_FEATS, _CTE_SIGS_MINHASH],
+    """
+    SELECT coalesce(sum(n), 0) AS colliding_rows,
+           count(*) AS colliding_buckets
+    FROM (
+        SELECT bucket_key, count(DISTINCT clip_id) AS n
+        FROM sigs GROUP BY bucket_key HAVING count(DISTINCT clip_id) > 1
+    )
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# text-analysis queries (documents)
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+_SQL_NORM_TEXT = O.sql_normalize("text")
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CASE WHEN length({_SQL_NORM_TEXT}) = 0 THEN 0
+            ELSE len(string_split({_SQL_NORM_TEXT}, ' ')) END AS n_tokens
+FROM documents
+"""
+
+
+def _stop_hits(words_col, stopwords: list[str]) -> F.Column:
+    return F.size(F.filter(words_col, lambda w: w.isin(stopwords)))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact quality counters (training-data quality scoring
+    building blocks: length / alpha / digit / token / stopword)."""
+    docs = _read(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    words = F.split(norm, " ")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("n_alpha"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digit"),
+        F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(words)).alias("n_tokens"),
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(_stop_hits(words, STOPWORDS["en"])).alias("n_stopwords"),
+    )
+
+
+def _sql_stop_hits(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+    return (
+        f"len(list_filter(string_split({_SQL_NORM_TEXT}, ' '), "
+        f"w -> list_contains({lst}, w)))"
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+SELECT doc_id,
+       length(text) AS n_chars_raw,
+       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+       CASE WHEN length({_SQL_NORM_TEXT}) = 0 THEN 0
+            ELSE len(string_split({_SQL_NORM_TEXT}, ' ')) END AS n_tokens,
+       CASE WHEN length({_SQL_NORM_TEXT}) = 0 THEN 0
+            ELSE {_sql_stop_hits('en')} END AS n_stopwords
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID, deterministic tiebreak order
+    (en > de > es > fr), 'und' when no stopword hits at all."""
+    docs = _read(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    words = F.split(norm, " ")
+    scores = {lang: _stop_hits(words, sw) for lang, sw in STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["es"] == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN s_en = best THEN 'en'
+            WHEN s_de = best THEN 'de'
+            WHEN s_es = best THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM (
+    SELECT doc_id, s_en, s_de, s_es, s_fr,
+           greatest(s_en, s_de, s_es, s_fr) AS best
+    FROM (
+        SELECT doc_id,
+               {_sql_stop_hits('en')} AS s_en,
+               {_sql_stop_hits('de')} AS s_de,
+               {_sql_stop_hits('es')} AS s_es,
+               {_sql_stop_hits('fr')} AS s_fr
+        FROM documents
+    )
+)
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: content md5 + min shingle hash (bottom-1
+    sketch) + set size — X7-style u64 re-hash surface (dedupe.rs:81-85)."""
+    from ..functions.hashing import base_hashes
+    from ..functions.text import char_shingles
+
+    docs = _read(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    hashes = F.array_distinct(base_hashes(char_shingles(norm, CFG.shingle_width), CFG))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.when(F.size(hashes) > 0, F.array_min(hashes)).alias("min_shingle_hash"),
+        F.size(hashes).alias("n_shingles"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       CASE WHEN len(hashes) > 0 THEN list_min(hashes) END AS min_shingle_hash,
+       len(hashes) AS n_shingles
+FROM (
+    SELECT doc_id, text,
+           list_distinct({O.sql_base_hashes(O.sql_shingles(_SQL_NORM_TEXT, CFG.shingle_width), CFG)}) AS hashes
+    FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def _cosine_expr(a, b) -> F.Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+    nb = F.sqrt(F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+    return dot / (na * nb)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 query vector (the ANN
+    baseline); output is rank+id only (no float hashing hazards)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    sim = _cosine_expr(F.col("embedding"), F.col("q_embedding"))
+    top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+    return top.select(
+        "vec_id",
+        F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("vec_id"))).alias("rank"),
+    )
+
+
+_SQL_COS_AB = """(
+    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             p -> p[1]::DOUBLE * p[2]::DOUBLE))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+)"""
+
+SQL_COSINE_TOPK = f"""
+SELECT vec_id,
+       row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+FROM (
+    SELECT a.vec_id AS vec_id, {_SQL_COS_AB} AS sim
+    FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+    WHERE a.vec_id != 0
+    ORDER BY sim DESC, vec_id ASC LIMIT 10
+)
+"""
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies of every 4th vector (+0.05 on every
+    3rd coordinate, in double): planted near-dups at cosine ~0.97+ while
+    natural pairs stay <= ~0.52 — the embedding analog of the documents'
+    truncated-copy corpus."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + COPY_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i % 3 == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(copies)
+
+
+_SQL_EMB_CORPUS = f"""emb AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + {COPY_OFFSET},
+           [embedding[i]::DOUBLE + CASE WHEN (i-1) % 3 = 0 THEN 0.05 ELSE 0.0 END
+            for i in range(1, len(embedding) + 1)]
+    FROM embeddings WHERE vec_id % 4 = 0
+)"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force embedding-cosine near-dup pairs (>= 0.9) over the
+    planted-copy corpus: reference semantics for the embedding dedup
+    detector (the LSH-bucketed variant is the scale path)."""
+    emb = _emb_corpus(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("src_vec"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("dst_vec"), F.col("embedding").alias("eb"))
+    sim = _cosine_expr(F.col("ea"), F.col("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("src_vec") < F.col("dst_vec"))
+        .select("src_vec", "dst_vec", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.9)
+        .select("src_vec", "dst_vec")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH {_SQL_EMB_CORPUS}
+SELECT a.vec_id AS src_vec, b.vec_id AS dst_vec
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE {_SQL_COS_AB} >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational-operator parity (reference ops over the driver tables)
+# ---------------------------------------------------------------------------
+
+def q_errors_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 graft (errors-by-kind, tools/src/lib.rs:590-600)."""
+    docs = _read(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("text").isNull() | (F.trim("text") == ""), "empty")
+        .when(F.col("n_chars") < 64, "too_short")
+        .otherwise("ok")
+    )
+    return docs.groupBy(kind.alias("kind")).agg(F.count("*").alias("n"))
+
+
+SQL_ERRORS_BY_KIND = """
+SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty'
+            WHEN n_chars < 64 THEN 'too_short'
+            ELSE 'ok' END AS kind,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_counts_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 graft: COUNT(*) + COUNT(DISTINCT) (db_hashes.rs:124-186)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+SQL_COUNTS_DISTINCT = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources
+FROM documents
+"""
+
+
+def q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 graft: source union with provenance lit (bin/main.rs:105-125)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        F.lit("documents").alias("src_table"), F.col("doc_id").alias("rec_id")
+    )
+    evts = _read(spark, sf_dir, "events").select(
+        F.lit("events").alias("src_table"), F.col("event_id").alias("rec_id")
+    )
+    return (
+        docs.unionByName(evts)
+        .groupBy("src_table")
+        .agg(F.count("*").alias("n"), F.max("rec_id").alias("max_id"))
+    )
+
+
+SQL_UNION_SOURCES = """
+SELECT src_table, count(*) AS n, max(rec_id) AS max_id
+FROM (
+    SELECT 'documents' AS src_table, doc_id AS rec_id FROM documents
+    UNION ALL
+    SELECT 'events', event_id FROM events
+) GROUP BY src_table
+"""
+
+
+def q_minmax_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 graft: MIN/MAX hash-domain bounds (db_hashes.rs:461-477)."""
+    docs = _read(spark, sf_dir, "documents")
+    h = md5_long(F.col("text"))
+    return docs.agg(
+        F.min(h).alias("min_hash"),
+        F.max(h).alias("max_hash"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_MINMAX_HASH = f"""
+SELECT min({O.sql_md5_long('text')}) AS min_hash,
+       max({O.sql_md5_long('text')}) AS max_hash,
+       count(*) AS n
+FROM documents
+"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 graft: key lookup (tools/src/lib.rs:602-611)."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(20)
+    )
+
+
+SQL_POINT_LOOKUP = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+ORDER BY o_orderkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "exact_dedup_survivors": q_exact_dedup_survivors,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidates": q_lsh_candidates,
+    "verified_pairs": q_verified_pairs,
+    "dedup_components": q_dedup_components,
+    "dedup_survivors": q_dedup_survivors,
+    "suffix_verified": q_suffix_verified,
+    "collision_count": q_collision_count,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "errors_by_kind": q_errors_by_kind,
+    "counts_distinct": q_counts_distinct,
+    "union_sources": q_union_sources,
+    "minmax_hash": q_minmax_hash,
+    "point_lookup": q_point_lookup,
+}
+
+ORACLES = {
+    "exact_dedup_survivors": SQL_EXACT_DEDUP,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "lsh_candidates": SQL_LSH_CANDIDATES,
+    "verified_pairs": SQL_VERIFIED_PAIRS,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
+    "dedup_survivors": SQL_DEDUP_SURVIVORS,
+    "suffix_verified": SQL_SUFFIX_VERIFIED,
+    "collision_count": SQL_COLLISION_COUNT,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_score": SQL_QUALITY_SCORE,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "errors_by_kind": SQL_ERRORS_BY_KIND,
+    "counts_distinct": SQL_COUNTS_DISTINCT,
+    "union_sources": SQL_UNION_SOURCES,
+    "minmax_hash": SQL_MINMAX_HASH,
+    "point_lookup": SQL_POINT_LOOKUP,
+}

@@ -1,0 +1,115 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Measures the headline dedup pipeline (all three detectors, checkpointed
+stages — the production path) over a deterministic synthetic audio+
+transcript corpus sized by SF, plus per-query timings of contract
+queries over the driver's parquet tables.
+
+Env:
+  SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS     default os.cpu_count()
+  BENCH_CLIPS          override corpus size (default: 40x documents rows)
+
+The corpus is generated once per (sf, size) into /tmp and reused;
+generation time is excluded from the measured pipeline time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from addresses_importer_spark.config import DedupConfig
+from addresses_importer_spark.datagen import synth_corpus
+from addresses_importer_spark.plans import driver_queries as DQ
+from addresses_importer_spark.plans.pipeline import run_pipeline
+from addresses_importer_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "exact_dedup_survivors",
+    "minhash_signatures",
+    "lsh_candidates",
+    "verified_pairs",
+    "dedup_components",
+    "dedup_survivors",
+    "suffix_verified",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "cosine_topk",
+    "embedding_near_dup",
+]
+
+
+def corpus_path(sf_dir: str, n_clips: int) -> str:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"/tmp/spark_graft_bench/clips_{tag}_{n_clips}.parquet"
+
+
+def ensure_corpus(spark, sf_dir: str, n_clips: int) -> str:
+    path = corpus_path(sf_dir, n_clips)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        synth_corpus(spark, n_base=n_clips, dup_fraction=0.3).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    spark = get_spark(app_name="bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = DedupConfig()
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_clips = int(os.environ.get("BENCH_CLIPS", "0")) or 4 * n_docs
+
+    timings: dict[str, float] = {}
+
+    # --- headline: full audio+transcript dedup pipeline ----------------
+    clips_path = ensure_corpus(spark, sf_dir, n_clips)
+    clips = spark.read.parquet(clips_path)
+    total_rows = clips.count()
+    ckpt = "/tmp/spark_graft_bench/ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t0 = time.time()
+    res = run_pipeline(spark, clips, cfg, ckpt)
+    n_survivors = res.survivors.count()
+    pipeline_sec = time.time() - t0
+    timings["pipeline_full"] = round(pipeline_sec, 3)
+
+    # --- contract queries over driver tables ---------------------------
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        DQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_pipeline_and_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
+                "cores": cores,
+                "pipeline_clips": total_rows,
+                "pipeline_survivors": n_survivors,
+                "throughput_clips_per_sec": round(total_rows / pipeline_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -67,3 +67,15 @@ def test_duplicate_signature_rows_collapse(spark):
     ])
     rows = build_candidates(sigs, DedupConfig()).collect()
     assert [(r["src"], r["dst"]) for r in rows] == [("a", "b")]
+
+
+def test_large_bucket_selfjoin_path(spark):
+    """Buckets above PAIR_EXPAND_MAX go through the self-join path and
+    still produce the exact pair set."""
+    from addresses_importer_spark.operators.candidates import PAIR_EXPAND_MAX
+
+    n = PAIR_EXPAND_MAX + 3
+    sigs = _sigs(spark, [(f"m{i:03d}", "minhash", 0, 42) for i in range(n)])
+    rows = build_candidates(sigs, DedupConfig()).collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r["src"] < r["dst"] for r in rows)
