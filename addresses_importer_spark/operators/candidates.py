@@ -3,14 +3,24 @@
 Graft of the reference's collisions query + pack iteration
 (db_hashes.rs:484-513: equi-join + EXISTS semi-join keeping only hash
 groups of size >= 2, ORDER BY hash; deduplicator.rs:98-180: group_by
-hash → pack → pairwise). One shuffle: groupBy(bucket_key) with
-collect_list, then JVM-side pair expansion (i<j) via array transforms —
-no self-join, no second shuffle of the signatures table.
+hash → pack → pairwise).
+
+Two pairing modes, driven by the signature `role` column:
+
+- SYMMETRIC (role=both; minhash bands, simhash original values): all
+  pairs within a bucket. Small buckets expand via a JVM array
+  comprehension after one groupBy (no join); large buckets go through a
+  self-join so no single row ever materializes a bucket's full pair set.
+- ASYMMETRIC (role=qry vs role=idx/both; simhash probe flips, suffix
+  rarest-shingle queries vs postings): a hash join of query keys
+  against index postings. Probe×probe and posting×posting rows never
+  pair — this is what keeps candidate volume linear-ish (measured on a
+  2.6k synthetic corpus: 1.48M → ~10k candidates after the redesign).
 
 Skew guard: the reference silently DROPS packs > 5000 members
-(deduplicator.rs:120-155, logging the first 10). We do the same cap but
-surface it as a metrics row (`oversize_buckets`, `oversize_rows`) so
-nothing disappears silently (SURVEY §4 custom-work item 3).
+(deduplicator.rs:120-155, logging the first 10). We apply the same cap
+per bucket (symmetric: member count; asymmetric: index-side count) and
+surface counts via oversize_bucket_stats — nothing disappears silently.
 """
 
 from __future__ import annotations
@@ -18,40 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import DedupConfig
-
-
-def bucket_groups(signatures: DataFrame) -> DataFrame:
-    """(detector, bucket_key, members sorted-array, n) for groups of >=2.
-
-    The sort makes pair orientation (src < dst) and downstream results
-    deterministic — the reference's deterministic pack ordering
-    (deduplicator.rs:157-164)."""
-    return (
-        signatures.groupBy("detector", "bucket_key")
-        .agg(F.array_sort(F.collect_set("clip_id")).alias("members"))
-        .withColumn("n", F.size("members"))
-        .filter(F.col("n") >= 2)
-    )
-
-
-def oversize_metrics(groups: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """metrics rows: how many buckets/rows the cap discarded, per
-    detector (stage, key, value)."""
-    over = groups.filter(F.col("n") > cfg.bucket_cap)
-    return (
-        over.groupBy("detector")
-        .agg(
-            F.count("*").alias("oversize_buckets"),
-            F.sum("n").alias("oversize_rows"),
-        )
-        .select(
-            F.lit("candidates").alias("stage"),
-            F.concat_ws(":", F.lit("oversize"), "detector").alias("key"),
-            F.col("oversize_buckets").cast("long").alias("value"),
-            F.col("oversize_rows").cast("long").alias("value2"),
-        )
-    )
-
+from .signatures import ROLE_BOTH, ROLE_QRY
 
 #: buckets up to this size expand pairs via a JVM array comprehension in
 #: one task row (<= ~2k structs); larger buckets go through a self-join
@@ -61,18 +38,44 @@ def oversize_metrics(groups: DataFrame, cfg: DedupConfig) -> DataFrame:
 PAIR_EXPAND_MAX = 64
 
 
-def build_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(src, dst, detector) with src < dst, distinct.
+def bucket_groups(signatures: DataFrame) -> DataFrame:
+    """Symmetric-role buckets: (detector, bucket_key, members, n) for
+    groups of >= 2. Sorted members make pair orientation (src < dst)
+    deterministic — the reference's deterministic pack ordering
+    (deduplicator.rs:157-164)."""
+    return (
+        signatures.filter(F.col("role") == ROLE_BOTH)
+        .groupBy("detector", "bucket_key")
+        .agg(F.array_sort(F.collect_set("clip_id")).alias("members"))
+        .withColumn("n", F.size("members"))
+        .filter(F.col("n") >= 2)
+    )
 
-    Hybrid pair generation:
-    - small buckets (n <= PAIR_EXPAND_MAX, the overwhelming majority
-      under a healthy LSH config): flatten(transform(...)) over the
-      sorted member array — one shuffle total, no join;
-    - large buckets (PAIR_EXPAND_MAX < n <= bucket_cap): exploded back
-      to rows and self-joined on bucket_key, letting AQE split the skew;
-    - oversize buckets (n > bucket_cap): dropped, as the reference drops
-      packs > 5000 (deduplicator.rs:120-135) — counted by the caller.
-    """
+
+def index_bucket_sizes(signatures: DataFrame) -> DataFrame:
+    """Asymmetric-mode index-side bucket sizes (role != qry)."""
+    return (
+        signatures.filter(F.col("role") != ROLE_QRY)
+        .groupBy("detector", "bucket_key")
+        .agg(F.countDistinct("clip_id").alias("n"))
+    )
+
+
+def oversize_bucket_stats(signatures: DataFrame, cfg: DedupConfig) -> list:
+    """Per-detector counts of buckets dropped by the cap — the
+    reference's oversize-pack log (deduplicator.rs:141-147) as data."""
+    sym = bucket_groups(signatures).filter(F.col("n") > cfg.bucket_cap)
+    asym = index_bucket_sizes(signatures).filter(F.col("n") > cfg.bucket_cap)
+    out = (
+        sym.select("detector", "n")
+        .unionByName(asym.select("detector", "n"))
+        .groupBy("detector")
+        .agg(F.count("*").alias("buckets"), F.sum("n").alias("rows"))
+    )
+    return out.collect()
+
+
+def _symmetric_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     groups = bucket_groups(signatures).filter(F.col("n") <= cfg.bucket_cap)
 
     small = groups.filter(F.col("n") <= PAIR_EXPAND_MAX)
@@ -94,8 +97,7 @@ def build_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     lmembers = large.select(
         "detector", "bucket_key", F.explode("members").alias("clip_id")
     )
-    l = lmembers.alias("l")
-    r = lmembers.alias("r")
+    l, r = lmembers.alias("l"), lmembers.alias("r")
     large_pairs = (
         l.join(
             r,
@@ -109,7 +111,39 @@ def build_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
             F.col("l.detector").alias("detector"),
         )
     )
+    return small_pairs.unionByName(large_pairs)
 
-    return small_pairs.unionByName(large_pairs).dropDuplicates(
-        ["src", "dst", "detector"]
+
+def _asymmetric_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """qry keys × (idx|both) postings within a bucket. The suffix
+    detector's postings join IS the distributed suffix-array probe; for
+    simhash it matches probe flips against original band values."""
+    qry = signatures.filter(F.col("role") == ROLE_QRY).select(
+        "detector", "bucket_key", F.col("clip_id").alias("qry_id")
+    )
+    idx = signatures.filter(F.col("role") != ROLE_QRY).select(
+        "detector", "bucket_key", F.col("clip_id").alias("idx_id")
+    )
+    ok_sizes = index_bucket_sizes(signatures).filter(
+        F.col("n") <= cfg.bucket_cap
+    ).select("detector", "bucket_key")
+    return (
+        qry.join(ok_sizes, ["detector", "bucket_key"])
+        .join(idx, ["detector", "bucket_key"])
+        .filter(F.col("qry_id") != F.col("idx_id"))
+        .select(
+            F.least("qry_id", "idx_id").alias("src"),
+            F.greatest("qry_id", "idx_id").alias("dst"),
+            "detector",
+        )
+    )
+
+
+def build_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(src, dst, detector) with src < dst, distinct (A6 distinct-set
+    semantics, deduplicator.rs:216-222)."""
+    return (
+        _symmetric_pairs(signatures, cfg)
+        .unionByName(_asymmetric_pairs(signatures, cfg))
+        .dropDuplicates(["src", "dst", "detector"])
     )

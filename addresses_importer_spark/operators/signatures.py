@@ -20,7 +20,7 @@ reference drops empty hash sets (deduplicator.rs:371-374).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
 from ..config import CODEC_PRIORITY, DedupConfig
@@ -118,54 +118,95 @@ def build_features(clips: DataFrame, cfg: DedupConfig,
     return df.drop("bytes")
 
 
+ROLE_BOTH = "both"   # symmetric blocking key (minhash bands)
+ROLE_QRY = "qry"     # query-side only (simhash probe flips, suffix rarest)
+ROLE_IDX = "idx"     # index-side only (suffix postings)
+
+
 def simhash_band_exprs(cfg: DedupConfig) -> list[F.Column]:
     """Bit-slice the int64 SimHash into band values + 1-bit probe
     variants, JVM-side.
 
     Plain banding (geohash-cell-blocking analog, dedupe.rs:11-16) only
-    guarantees a shared key for Hamming < bands. With both sides also
-    emitting every single-bit flip of each band value (multi-probe /
-    HmSearch style), a pair within Hamming <= 2*bands - 1 is guaranteed
-    to collide: some band differs by <= 1 bit (pigeonhole), and a 1-bit
-    -different value is in the other side's probe set. Keeps slices
-    16-bit wide — bucket cardinality stays 2^16 per band instead of
-    collapsing to 2^8, which matters at 10^12 rows."""
+    guarantees a shared key for Hamming < bands. Multi-probe (HmSearch
+    style) extends that: the original band value is emitted as a
+    symmetric key (role=both) and every single-bit flip as a QUERY-side
+    key (role=qry). A probe row pairs only against index rows, so a
+    pair within Hamming <= 2*bands - 1 is still guaranteed (pigeonhole:
+    some band differs by <= 1 bit, and the 1-flip probe hits the other
+    side's original), while probe×probe collisions — pairs whose bands
+    differ by exactly 2 bits, the bulk of spurious candidates — no
+    longer block. Slices stay 16-bit wide (bucket cardinality 2^16 per
+    band instead of 2^8, which matters at 10^12 rows)."""
     width = cfg.simhash_bits // cfg.simhash_bands
     mask = (1 << width) - 1
     out = []
     for b in range(cfg.simhash_bands):
         val = F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
-        variants = [val] + [
-            val.bitwiseXOR(F.lit(1 << i))
+        variants = [(val, ROLE_BOTH)] + [
+            (val.bitwiseXOR(F.lit(1 << i)), ROLE_QRY)
             for i in range(width)
             if cfg.simhash_probe_bits >= 1
         ]
-        for v in variants:
+        for v, role in variants:
             key_str = F.concat_ws(
                 "_", F.lit(f"{DETECTOR_SIMHASH}:{b}"), v.cast("string")
             )
             out.append(
-                F.struct(F.lit(b).alias("band"), md5_long(key_str).alias("bucket_key"))
+                F.struct(
+                    F.lit(b).alias("band"),
+                    md5_long(key_str).alias("bucket_key"),
+                    F.lit(role).alias("role"),
+                )
             )
     return out
 
 
-def suffix_band_exprs(cfg: DedupConfig) -> F.Column:
-    """Bottom-k shingle sketch as blocking keys for substring
-    containment: if short ⊂ long, every shingle of short (incl. its
-    minimal ones) appears in long, so the two share bottom-sketch
-    elements with high probability. Sorted-postings analog of a
-    distributed suffix array; verified by exact `contains` later."""
-    bottom = F.slice(F.array_sort(F.col("shingle_hashes")), 1, cfg.suffix_bottom_k)
-    return F.transform(
-        bottom,
-        lambda h: F.struct(
-            F.lit(-1).alias("band"),
-            md5_long(F.concat_ws("_", F.lit(DETECTOR_SUFFIX), h.cast("string"))).alias(
-                "bucket_key"
-            ),
-        ),
+def suffix_signatures(features: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Substring-containment blocking via rarest-shingle prefix filter
+    (the distributed-suffix-array graft).
+
+    If norm(A) ⊂ norm(B), every shingle of A — in particular A's
+    globally rarest one — appears in B. So:
+      - index side (role=idx): every clip posts ALL its shingle hashes
+        (the sorted-postings table a suffix array is);
+      - query side (role=qry): every containable clip emits exactly ONE
+        key — its shingle with the minimal (document_frequency, hash)
+        pair, computed with a df pre-pass (AllPairs/PPJoin-style global
+        frequency ordering).
+    Bucket fan-out per query = df(rarest shingle), small by
+    construction; common-shingle hot buckets never become query keys.
+    An earlier bottom-k-sketch scheme collided every pair of documents
+    sharing one globally-small-hash shingle (observed 892-member
+    buckets and ~1.1M candidate pairs on a 2.6k corpus)."""
+    containable = features.filter(
+        (F.size("shingle_hashes") > 0)
+        & (F.length("norm") >= cfg.min_containment_len)
     )
+    posts = containable.select(
+        "clip_id", F.explode("shingle_hashes").alias("h")
+    )
+    df_counts = posts.groupBy("h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("clip_id").orderBy("df", "h")
+    rarest = (
+        posts.join(df_counts, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("clip_id", "h")
+    )
+
+    def keyed(df: DataFrame, role: str) -> DataFrame:
+        return df.select(
+            "clip_id",
+            F.lit(DETECTOR_SUFFIX).alias("detector"),
+            F.lit(-1).alias("band"),
+            md5_long(
+                F.concat_ws("_", F.lit(DETECTOR_SUFFIX), F.col("h").cast("string"))
+            ).alias("bucket_key"),
+            F.lit(role).alias("role"),
+        )
+
+    return keyed(rarest, ROLE_QRY).unionByName(keyed(posts, ROLE_IDX))
 
 
 def build_signatures(features: DataFrame, cfg: DedupConfig,
@@ -173,7 +214,8 @@ def build_signatures(features: DataFrame, cfg: DedupConfig,
                          DETECTOR_MINHASH, DETECTOR_SIMHASH, DETECTOR_SUFFIX
                      )) -> DataFrame:
     """Explode per-clip blocking keys → (clip_id, detector, band,
-    bucket_key). The H2 fan-out (deduplicator.rs:369)."""
+    bucket_key, role). The H2 fan-out (deduplicator.rs:369); `role`
+    drives asymmetric candidate pairing (see operators/candidates.py)."""
     parts = []
     if DETECTOR_MINHASH in detectors:
         mh = (
@@ -187,6 +229,7 @@ def build_signatures(features: DataFrame, cfg: DedupConfig,
                 F.lit(DETECTOR_MINHASH).alias("detector"),
                 F.col("e.band").alias("band"),
                 F.col("e.bucket_key").alias("bucket_key"),
+                F.lit(ROLE_BOTH).alias("role"),
             )
         )
         parts.append(mh)
@@ -199,24 +242,12 @@ def build_signatures(features: DataFrame, cfg: DedupConfig,
                 F.lit(DETECTOR_SIMHASH).alias("detector"),
                 F.col("e.band").alias("band"),
                 F.col("e.bucket_key").alias("bucket_key"),
+                F.col("e.role").alias("role"),
             )
         )
         parts.append(sh)
     if DETECTOR_SUFFIX in detectors:
-        sx = (
-            features.filter(
-                (F.size("shingle_hashes") > 0)
-                & (F.length("norm") >= cfg.min_containment_len)
-            )
-            .select("clip_id", F.explode(suffix_band_exprs(cfg)).alias("e"))
-            .select(
-                "clip_id",
-                F.lit(DETECTOR_SUFFIX).alias("detector"),
-                F.col("e.band").alias("band"),
-                F.col("e.bucket_key").alias("bucket_key"),
-            )
-        )
-        parts.append(sx)
+        parts.append(suffix_signatures(features, cfg))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -114,14 +114,36 @@ sigs AS MATERIALIZED (
     )
 )"""
 
-_CTE_SIGS_SUFFIX = f"""sigs AS MATERIALIZED (
-    SELECT clip_id, 'suffix' AS detector, -1 AS band,
-           {O.sql_md5_long("('suffix' || '_' || h::VARCHAR)")} AS bucket_key
-    FROM (
-        SELECT f.clip_id AS clip_id, unnest(list_sort(f.hashes)[1:{CFG.suffix_bottom_k}]) AS h
-        FROM feats f
-        WHERE len(f.hashes) > 0 AND length(f.norm) >= {CFG.min_containment_len}
-    )
+# suffix detector oracle: rarest-shingle query keys (by global document
+# frequency) joined against the full postings table — mirrors
+# operators/signatures.suffix_signatures + the asymmetric pairing in
+# operators/candidates (buckets keyed by the raw shingle hash; Spark
+# md5-wraps it, which is injective for parity purposes)
+_CTE_SUFFIX_CANDS = f"""posts AS MATERIALIZED (
+    SELECT clip_id, unnest(hashes) AS h
+    FROM feats
+    WHERE len(hashes) > 0 AND length(norm) >= {CFG.min_containment_len}
+),
+dfc AS (
+    SELECT h, count(*) AS df FROM posts GROUP BY h
+),
+rarest AS (
+    SELECT clip_id, h FROM (
+        SELECT p.clip_id, p.h,
+               row_number() OVER (PARTITION BY p.clip_id ORDER BY d.df, p.h) AS rn
+        FROM posts p JOIN dfc d ON d.h = p.h
+    ) WHERE rn = 1
+),
+ok_buckets AS (
+    SELECT h FROM dfc WHERE df <= {CFG.bucket_cap}
+),
+cands AS (
+    SELECT DISTINCT least(q.clip_id, i.clip_id) AS src,
+                    greatest(q.clip_id, i.clip_id) AS dst
+    FROM rarest q
+    JOIN ok_buckets s ON s.h = q.h
+    JOIN posts i ON i.h = q.h
+    WHERE q.clip_id != i.clip_id
 )"""
 
 # self-join pair generation with the reference's bucket cap
@@ -326,7 +348,7 @@ def q_suffix_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SUFFIX_VERIFIED = _with(
-    [_CTE_CORPUS, _CTE_FEATS, _CTE_SIGS_SUFFIX, _CTE_CANDS, _CTE_VERIFIED_SUFFIX],
+    [_CTE_CORPUS, _CTE_FEATS, _CTE_SUFFIX_CANDS, _CTE_VERIFIED_SUFFIX],
     "SELECT DISTINCT src, dst FROM verified",
 )
 

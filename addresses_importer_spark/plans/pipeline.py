@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import DedupConfig
-from ..operators.candidates import build_candidates, bucket_groups
+from ..operators.candidates import build_candidates, oversize_bucket_stats
 from ..operators.components import connected_components
 from ..operators.signatures import build_features, build_signatures
 from ..operators.survivors import apply_deletions, pick_losers, survivor_table
@@ -93,13 +93,7 @@ def run_pipeline(
     # oversize-bucket counters (reference logs dropped packs,
     # deduplicator.rs:141-147; we count them into the manifest)
     def compute_candidates():
-        over = (
-            bucket_groups(signatures)
-            .filter(F.col("n") > cfg.bucket_cap)
-            .groupBy("detector")
-            .agg(F.count("*").alias("buckets"), F.sum("n").alias("rows"))
-            .collect()
-        )
+        over = oversize_bucket_stats(signatures, cfg)
         metrics["oversize_buckets"] = {
             r["detector"]: {"buckets": r["buckets"], "rows": r["rows"]} for r in over
         }

@@ -12,8 +12,12 @@ from addresses_importer_spark.operators.candidates import (
 
 
 def _sigs(spark, rows):
+    """rows: (clip_id, detector, band, bucket_key[, role]) — role
+    defaults to 'both' (symmetric pairing)."""
+    rows = [tuple(r) + ("both",) if len(r) == 4 else tuple(r) for r in rows]
     return spark.createDataFrame(
-        rows, "clip_id string, detector string, band int, bucket_key long"
+        rows,
+        "clip_id string, detector string, band int, bucket_key long, role string",
     )
 
 
@@ -79,3 +83,37 @@ def test_large_bucket_selfjoin_path(spark):
     rows = build_candidates(sigs, DedupConfig()).collect()
     assert len(rows) == n * (n - 1) // 2
     assert all(r["src"] < r["dst"] for r in rows)
+
+
+def test_asymmetric_qry_idx_pairing(spark):
+    """qry rows pair with idx/both rows; qry×qry and idx×idx never pair."""
+    sigs = _sigs(spark, [
+        ("a", "suffix", -1, 7, "qry"), ("b", "suffix", -1, 7, "qry"),
+        ("c", "suffix", -1, 7, "idx"), ("d", "suffix", -1, 7, "idx"),
+    ])
+    got = {(r["src"], r["dst"]) for r in build_candidates(sigs, DedupConfig()).collect()}
+    assert got == {("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")}
+
+
+def test_asymmetric_self_pair_excluded(spark):
+    """A clip that is both query and posting never pairs with itself."""
+    sigs = _sigs(spark, [
+        ("a", "suffix", -1, 7, "qry"), ("a", "suffix", -1, 7, "idx"),
+        ("b", "suffix", -1, 7, "idx"),
+    ])
+    got = {(r["src"], r["dst"]) for r in build_candidates(sigs, DedupConfig()).collect()}
+    assert got == {("a", "b")}
+
+
+def test_asymmetric_index_cap(spark):
+    """Buckets whose index side exceeds the cap are dropped (and show
+    up in oversize stats)."""
+    from addresses_importer_spark.operators.candidates import oversize_bucket_stats
+
+    cfg = DedupConfig(bucket_cap=3)
+    sigs = _sigs(spark, [("q", "suffix", -1, 7, "qry")] + [
+        (f"i{k}", "suffix", -1, 7, "idx") for k in range(4)
+    ])
+    assert build_candidates(sigs, cfg).count() == 0
+    stats = oversize_bucket_stats(sigs, cfg)
+    assert stats and stats[0]["detector"] == "suffix" and stats[0]["rows"] == 4
