@@ -52,16 +52,23 @@ class DedupConfig:
     #   pigeonhole any pair within Hamming <= 2*(probe+1)*bands/2 - 1 = 7
     #   shares a key while slices stay 16-bit wide (scale-friendly
     #   bucket cardinality vs shrinking the slices)
-    simhash_max_hamming: int = 6    # verify threshold (~= 10m/100m tiers).
-    #   SNR>=30dB re-renders measure <= 6 flipped bits; unrelated clips
-    #   >= ~8 even for adversarial fixtures (multi-probe blocking covers
-    #   up to Hamming 7, so verify at 6 never out-runs blocking recall)
+    simhash_max_hamming: int = 3    # verify threshold (~= 10m/100m tiers).
+    #   On broadband-content audio, SNR>=30dB re-renders measure <= ~1
+    #   flipped bit (noise perturbs log-mel energies far below band
+    #   level); unrelated clips measure >= ~5 even adversarially.
+    #   Multi-probe blocking covers Hamming <= 7, comfortably above.
     n_mels: int = 32                # log-mel bands
     frame_len: int = 512
     hop_len: int = 256
 
     # --- suffix / substring-containment detector -----------------------
-    suffix_bottom_k: int = 8        # bottom-k shingle sketch for blocking
+    suffix_shingle_width: int = 16  # wider than minhash shingles: any
+    #   substring shares all its w-shingles with its container for ANY
+    #   w, and wider shingles have far lower document frequency, so the
+    #   rarest-shingle query key fans out to few postings even on
+    #   low-vocabulary corpora
+    suffix_bottom_k: int = 8        # (unused by the rarest-df scheme; kept
+    #   for config-hash stability of older checkpoints)
     min_containment_len: int = 24   # min normalized chars to be containable
 
     # --- skew handling (reference: drop packs > 5000,

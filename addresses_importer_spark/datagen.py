@@ -83,6 +83,25 @@ def _signal(rng: random.Random, sr_hz: int, dur_s: float) -> np.ndarray:
     sig = sig + rng.uniform(0.15, 0.3) * np.sin(
         2 * np.pi * (f0 * t + 0.5 * (f1 - f0) / max(t[-1], 1e-9) * t * t)
     )
+    # spectrally-shaped noise: white noise filtered by a random smooth
+    # envelope (8 control points). Pure-tone mixes live on a
+    # low-dimensional manifold, so at >10k clips their 64-bit SimHashes
+    # birthday-collide into huge blocking buckets (observed: 3.4M
+    # acoustic candidate pairs from 15.6k clips). A random broadband
+    # component gives each clip a high-dimensional spectral identity —
+    # which is also what real speech/audio looks like to a log-mel
+    # frontend.
+    noise_rng2 = np.random.default_rng(rng.randrange(2**31))
+    white = noise_rng2.standard_normal(len(t))
+    spec = np.fft.rfft(white)
+    # 32 independent control points ≈ one random gain per mel band: the
+    # pooled log-mel profile then has ~32 degrees of freedom per clip
+    # (a smoother envelope would *lower* fingerprint entropy)
+    ctrl = noise_rng2.uniform(0.02, 1.0, 32) ** 2
+    envelope = np.interp(np.linspace(0, 31, len(spec)), np.arange(32), ctrl)
+    shaped = np.fft.irfft(spec * envelope, n=len(t))
+    shaped /= max(np.max(np.abs(shaped)), 1e-9)
+    sig = sig + 0.6 * shaped
     noise_rng = np.random.default_rng(rng.randrange(2**31))
     sig = sig + 0.002 * noise_rng.standard_normal(len(t))
     # normalize to 0.5 peak: headroom so a +3 dB re-render (FIXTURES §2)

@@ -142,18 +142,27 @@ def simhash_band_values(u: int, bands: int, bits: int) -> list[int]:
     return [(u >> (b * width)) & mask for b in range(bands)]
 
 
-def snr_db(ref: np.ndarray, other: np.ndarray) -> float:
+def snr_db(ref: np.ndarray, other: np.ndarray, align_gain: bool = True) -> float:
     """SNR of `other` vs `ref` after length alignment (dB). Used by the
     per-row invariant audit: verified acoustic dup pairs must decode
-    allclose at SNR >= 30 dB (BASELINE.json input_hint)."""
+    allclose at SNR >= 30 dB (BASELINE.json input_hint).
+
+    align_gain: least-squares gain fit before the residual — a ±3 dB
+    re-render is a lossless transform (FIXTURES §2), so the invariant is
+    scale-invariant; without the fit, a 1 dB gain mismatch alone caps
+    raw SNR at ~18 dB and the floor would be unmeetable by design."""
     n = min(len(ref), len(other))
     if n == 0:
         return float("-inf")
-    r, o = ref[:n], other[:n]
-    noise = np.sum((r - o) ** 2)
+    r, o = ref[:n].astype(np.float64), other[:n].astype(np.float64)
     sig = np.sum(r**2)
-    if noise == 0:
-        return float("inf")
     if sig == 0:
         return float("-inf")
+    if align_gain:
+        denom = np.sum(o**2)
+        alpha = (np.sum(r * o) / denom) if denom > 0 else 0.0
+        o = alpha * o
+    noise = np.sum((r - o) ** 2)
+    if noise == 0:
+        return float("inf")
     return float(10.0 * np.log10(sig / noise))

@@ -179,12 +179,15 @@ def suffix_signatures(features: DataFrame, cfg: DedupConfig) -> DataFrame:
     An earlier bottom-k-sketch scheme collided every pair of documents
     sharing one globally-small-hash shingle (observed 892-member
     buckets and ~1.1M candidate pairs on a 2.6k corpus)."""
-    containable = features.filter(
-        (F.size("shingle_hashes") > 0)
-        & (F.length("norm") >= cfg.min_containment_len)
+    sw = cfg.suffix_shingle_width
+    suffix_hashes = F.array_distinct(
+        base_hashes(char_shingles(F.col("norm"), sw), cfg)
     )
-    posts = containable.select(
-        "clip_id", F.explode("shingle_hashes").alias("h")
+    containable = features.filter(
+        F.length("norm") >= F.lit(max(cfg.min_containment_len, sw))
+    ).select("clip_id", suffix_hashes.alias("sx"))
+    posts = containable.filter(F.size("sx") > 0).select(
+        "clip_id", F.explode("sx").alias("h")
     )
     df_counts = posts.groupBy("h").agg(F.count("*").alias("df"))
     w = Window.partitionBy("clip_id").orderBy("df", "h")
@@ -216,6 +219,12 @@ def build_signatures(features: DataFrame, cfg: DedupConfig,
     """Explode per-clip blocking keys → (clip_id, detector, band,
     bucket_key, role). The H2 fan-out (deduplicator.rs:369); `role`
     drives asymmetric candidate pairing (see operators/candidates.py)."""
+    known = {DETECTOR_MINHASH, DETECTOR_SIMHASH, DETECTOR_SUFFIX}
+    unknown = set(detectors) - known
+    if unknown or not detectors:
+        raise ValueError(
+            f"unknown detectors {sorted(unknown)}; valid: {sorted(known)}"
+        )
     parts = []
     if DETECTOR_MINHASH in detectors:
         mh = (

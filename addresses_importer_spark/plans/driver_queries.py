@@ -119,10 +119,15 @@ sigs AS MATERIALIZED (
 # operators/signatures.suffix_signatures + the asymmetric pairing in
 # operators/candidates (buckets keyed by the raw shingle hash; Spark
 # md5-wraps it, which is injective for parity purposes)
-_CTE_SUFFIX_CANDS = f"""posts AS MATERIALIZED (
-    SELECT clip_id, unnest(hashes) AS h
-    FROM feats
-    WHERE len(hashes) > 0 AND length(norm) >= {CFG.min_containment_len}
+_CTE_SUFFIX_CANDS = f"""sx_feats AS MATERIALIZED (
+    SELECT clip_id,
+           list_distinct({O.sql_base_hashes(O.sql_shingles('norm', CFG.suffix_shingle_width), CFG)}) AS sx
+    FROM normed
+    WHERE length(norm) >= {max(CFG.min_containment_len, CFG.suffix_shingle_width)}
+),
+posts AS MATERIALIZED (
+    SELECT clip_id, unnest(sx) AS h
+    FROM sx_feats WHERE len(sx) > 0
 ),
 dfc AS (
     SELECT h, count(*) AS df FROM posts GROUP BY h

@@ -62,14 +62,20 @@ def run_pipeline(
     detectors: tuple[str, ...] = ("minhash", "simhash", "suffix"),
     with_audio: bool = True,
 ) -> PipelineResult:
+    import time as _time
+
     store = CheckpointStore(checkpoint_dir, cfg.config_hash())
     resumed: list[str] = []
     metrics: dict = {}
+    _t_last = [_time.time()]
 
     def track(res):
         if res.resumed:
             resumed.append(res.stage)
         metrics[f"rows:{res.stage}"] = res.rows
+        now = _time.time()
+        metrics[f"sec:{res.stage}"] = round(now - _t_last[0], 2)
+        _t_last[0] = now
         return res.df
 
     valid, errors = split_valid(clips)
