@@ -516,6 +516,52 @@ FROM (
 """
 
 
+SIMHASH_TEXT_BITS = 32
+
+
+def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over word hashes (the text twin of the acoustic
+    detector): bit b set iff more distinct words have bit b set in
+    their md5 hash than not. Charikar's scheme with unit weights,
+    bit-for-bit reproducible in SQL."""
+    docs = _read(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    hashes = F.array_distinct(
+        F.transform(F.split(norm, " "), lambda w: md5_long(w) % (2**60))
+    )
+    n = F.size(hashes)
+    bits = []
+    for b in range(SIMHASH_TEXT_BITS):
+        ones = F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        bits.append(F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
+    simhash = sum(bits[1:], bits[0])
+    return docs.select(
+        "doc_id",
+        F.when(F.length(norm) > 0, simhash.cast("long")).alias("simhash_text"),
+    )
+
+
+_SQL_WORD_HASHES = (
+    f"list_distinct(list_transform(string_split({O.sql_normalize('text')}, ' '), "
+    f"w -> {O.sql_md5_long('w')} % {2**60}))"
+)
+_SQL_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(hashes, h -> (h >> {b}) & 1 = 1)) "
+    f"> len(hashes) THEN {1 << b} ELSE 0 END)"
+    for b in range(SIMHASH_TEXT_BITS)
+)
+SQL_TEXT_SIMHASH = f"""
+SELECT doc_id,
+       CASE WHEN length({_SQL_NORM_TEXT}) > 0 THEN ({_SQL_SIMHASH_BITS})::BIGINT END
+           AS simhash_text
+FROM (
+    SELECT doc_id, text, {_SQL_WORD_HASHES} AS hashes FROM documents
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -754,6 +800,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "text_simhash": q_text_simhash,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "errors_by_kind": q_errors_by_kind,
@@ -776,6 +823,7 @@ ORACLES = {
     "quality_score": SQL_QUALITY_SCORE,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "text_simhash": SQL_TEXT_SIMHASH,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "errors_by_kind": SQL_ERRORS_BY_KIND,

@@ -22,6 +22,20 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, types as T
 
 
+def _count_rows_from_footers(path: str) -> int:
+    """Row count from parquet file footers — metadata-only, no Spark
+    job. Stage manifests record counts for 8+ stages per run; a full
+    scan per stage is pure serial driver overhead at scale."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for fn in filenames:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(dirpath, fn)).metadata.num_rows
+    return total
+
+
 @dataclass
 class StageResult:
     stage: str
@@ -86,7 +100,7 @@ class CheckpointStore:
         # explicit schema: a 0-row stage writes no parquet files and
         # schema inference would fail (empty-corpus / fully-filtered runs)
         out = df.sparkSession.read.schema(df.schema).parquet(path)
-        rows = out.count()
+        rows = _count_rows_from_footers(path)
         manifest = {
             "stage": stage,
             "config_hash": self.config_hash,
