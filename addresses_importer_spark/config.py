@@ -46,12 +46,15 @@ class DedupConfig:
 
     # --- acoustic SimHash detector -------------------------------------
     simhash_bits: int = 64
-    simhash_bands: int = 4          # 16-bit band slices
-    simhash_probe_bits: int = 1     # 1-bit multi-probe per band: both
-    #   sides also emit every single-bit flip of each band value, so by
-    #   pigeonhole any pair within Hamming <= 2*(probe+1)*bands/2 - 1 = 7
-    #   shares a key while slices stay 16-bit wide (scale-friendly
-    #   bucket cardinality vs shrinking the slices)
+    simhash_bands: int = 2          # 32-bit band slices
+    simhash_probe_bits: int = 1     # 1-bit multi-probe per band: probes
+    #   emit as query-role keys against original-value index keys, so by
+    #   pigeonhole any pair within Hamming <= 2*bands - 1 = 3 shares a
+    #   key — exactly the verify threshold. 32-bit slices put the
+    #   per-random-pair blocking false-positive rate at
+    #   ~bands*(width+1)/2^width ≈ 1.5e-8: with 16-bit slices the rate
+    #   was ~5e-3/pair, which is QUADRATIC candidate growth (6.4M pairs
+    #   at 52k clips; would be 1e13 at 100x scale)
     simhash_max_hamming: int = 3    # verify threshold (~= 10m/100m tiers).
     #   On broadband-content audio, SNR>=30dB re-renders measure <= ~1
     #   flipped bit (noise perturbs log-mel energies far below band

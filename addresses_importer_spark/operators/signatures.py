@@ -25,7 +25,9 @@ from pyspark.sql.types import LongType
 
 from ..config import CODEC_PRIORITY, DedupConfig
 from ..functions import audio as A
-from ..functions.hashing import band_keys, base_hashes, md5_long, minhash_signature
+from ..functions.hashing import (
+    band_keys, base_hashes, md5_long, minhash_signature, spark_sql_md5_long,
+)
 from ..functions.text import char_shingles, normalize_text
 
 DETECTOR_MINHASH = "minhash"
@@ -112,7 +114,7 @@ def build_features(clips: DataFrame, cfg: DedupConfig,
     df = df.withColumn(
         "minhash_sig",
         F.when(
-            F.size("shingle_hashes") > 0, minhash_signature(F.col("shingle_hashes"), cfg)
+            F.size("shingle_hashes") > 0, minhash_signature("shingle_hashes", cfg)
         ),
     )
     return df.drop("bytes")
@@ -123,43 +125,41 @@ ROLE_QRY = "qry"     # query-side only (simhash probe flips, suffix rarest)
 ROLE_IDX = "idx"     # index-side only (suffix postings)
 
 
-def simhash_band_exprs(cfg: DedupConfig) -> list[F.Column]:
-    """Bit-slice the int64 SimHash into band values + 1-bit probe
-    variants, JVM-side.
+def simhash_band_keys_sql(cfg: DedupConfig, simhash_expr: str = "simhash") -> str:
+    """Spark SQL text: bit-slice the int64 SimHash into band values +
+    1-bit probe variants.
 
     Plain banding (geohash-cell-blocking analog, dedupe.rs:11-16) only
     guarantees a shared key for Hamming < bands. Multi-probe (HmSearch
     style) extends that: the original band value is emitted as a
     symmetric key (role=both) and every single-bit flip as a QUERY-side
     key (role=qry). A probe row pairs only against index rows, so a
-    pair within Hamming <= 2*bands - 1 is still guaranteed (pigeonhole:
-    some band differs by <= 1 bit, and the 1-flip probe hits the other
-    side's original), while probe×probe collisions — pairs whose bands
-    differ by exactly 2 bits, the bulk of spurious candidates — no
-    longer block. Slices stay 16-bit wide (bucket cardinality 2^16 per
-    band instead of 2^8, which matters at 10^12 rows)."""
+    pair within Hamming <= 2*bands - 1 is guaranteed (pigeonhole: some
+    band differs by <= 1 bit, and the 1-flip probe hits the other
+    side's original), while probe×probe collisions never block. 32-bit
+    slices keep the per-random-pair blocking FP rate ~1.5e-8 (see
+    config.simhash_bands).
+
+    Emitted as one SQL string — the Column-API version of this
+    2×33-entry struct array cost seconds of py4j round-trips per plan."""
     width = cfg.simhash_bits // cfg.simhash_bands
     mask = (1 << width) - 1
-    out = []
+    entries = []
     for b in range(cfg.simhash_bands):
-        val = F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+        val = f"(shiftrightunsigned({simhash_expr}, {b * width}) & {mask})"
         variants = [(val, ROLE_BOTH)] + [
-            (val.bitwiseXOR(F.lit(1 << i)), ROLE_QRY)
+            (f"({val} ^ {1 << i})", ROLE_QRY)
             for i in range(width)
             if cfg.simhash_probe_bits >= 1
         ]
         for v, role in variants:
-            key_str = F.concat_ws(
-                "_", F.lit(f"{DETECTOR_SIMHASH}:{b}"), v.cast("string")
+            key_str = f"concat_ws('_', '{DETECTOR_SIMHASH}:{b}', cast({v} as string))"
+            entries.append(
+                f"named_struct('band', {b}, "
+                f"'bucket_key', {spark_sql_md5_long(key_str)}, "
+                f"'role', '{role}')"
             )
-            out.append(
-                F.struct(
-                    F.lit(b).alias("band"),
-                    md5_long(key_str).alias("bucket_key"),
-                    F.lit(role).alias("role"),
-                )
-            )
-    return out
+    return "array(" + ", ".join(entries) + ")"
 
 
 def suffix_signatures(features: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -231,7 +231,7 @@ def build_signatures(features: DataFrame, cfg: DedupConfig,
             features.filter(F.col("minhash_sig").isNotNull())
             .select(
                 "clip_id",
-                F.explode(band_keys(F.col("minhash_sig"), cfg)).alias("e"),
+                F.explode(band_keys("minhash_sig", cfg)).alias("e"),
             )
             .select(
                 "clip_id",
@@ -245,7 +245,10 @@ def build_signatures(features: DataFrame, cfg: DedupConfig,
     if DETECTOR_SIMHASH in detectors:
         sh = (
             features.filter(F.col("simhash").isNotNull())
-            .select("clip_id", F.explode(F.array(*simhash_band_exprs(cfg))).alias("e"))
+            .select(
+                "clip_id",
+                F.explode(F.expr(simhash_band_keys_sql(cfg))).alias("e"),
+            )
             .select(
                 "clip_id",
                 F.lit(DETECTOR_SIMHASH).alias("detector"),

@@ -36,8 +36,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow batches for every pandas UDF (zero per-row Python).
+        # 512 rows/batch: clips carry ~30KB audio payloads, so the
+        # default 10k-row batches were ~330MB of Arrow per task — memory
+        # traffic that serialized the UDF stage regardless of cores.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         # Audio payloads are binary; keep task results compact.
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")

@@ -78,12 +78,17 @@ def test_simhash_different_signals_far():
 
 
 def test_band_values_pigeonhole():
-    """Hamming < bands ⇒ at least one shared band slice."""
+    """Hamming <= 2*bands - 1 ⇒ some band differs by <= 1 bit, so the
+    1-bit probe set of one side contains the other side's band value
+    (the blocking guarantee behind simhash_band_exprs)."""
     u = 0xDEADBEEFCAFEBABE
-    v = u ^ (1 << 3) ^ (1 << 40) ^ (1 << 63)  # hamming 3
-    bu = A.simhash_band_values(u, CFG.simhash_bands, CFG.simhash_bits)
-    bv = A.simhash_band_values(v, CFG.simhash_bands, CFG.simhash_bits)
-    assert any(x == y for x, y in zip(bu, bv))
+    for flips in [(3,), (3, 40), (3, 40, 63)]:  # hamming 1..2*bands-1
+        v = u
+        for f in flips:
+            v ^= 1 << f
+        bu = A.simhash_band_values(u, CFG.simhash_bands, CFG.simhash_bits)
+        bv = A.simhash_band_values(v, CFG.simhash_bands, CFG.simhash_bits)
+        assert any(bin(x ^ y).count("1") <= 1 for x, y in zip(bu, bv))
 
 
 def test_to_int64_roundtrip():

@@ -34,18 +34,17 @@ def spark_rows(spark, texts, cfg):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
     norm = normalize_text(F.col("t"))
     sh = char_shingles(norm, cfg.shingle_width)
-    hashes = base_hashes(sh, cfg)
-    out = df.select(
-        "i",
-        norm.alias("norm"),
-        F.array_sort(hashes).alias("hashes"),
-        F.when(F.size(hashes) > 0, minhash_signature(hashes, cfg)).alias("sig"),
+    out = df.select("i", norm.alias("norm"), base_hashes(sh, cfg).alias("h"))
+    out = out.select(
+        "i", "norm",
+        F.array_sort("h").alias("hashes"),
+        F.when(F.size("h") > 0, minhash_signature("h", cfg)).alias("sig"),
     )
     out = out.withColumn(
         "bands",
         F.when(
             F.col("sig").isNotNull(),
-            F.transform(band_keys(F.col("sig"), cfg), lambda e: e["bucket_key"]),
+            F.transform(band_keys("sig", cfg), lambda e: e["bucket_key"]),
         ),
     )
     return {r["i"]: r for r in out.collect()}
