@@ -86,16 +86,26 @@ def audio_simhash_udf(cfg: DedupConfig):
 
 
 def build_features(clips: DataFrame, cfg: DedupConfig,
-                   with_audio: bool = True) -> DataFrame:
+                   with_audio: bool = True,
+                   with_error_kind: bool = False) -> DataFrame:
     """Per-clip feature table. Drops `bytes` immediately after the
-    SimHash UDF — downstream stages shuffle only hashes/strings."""
+    SimHash UDF — downstream stages shuffle only hashes/strings.
+
+    with_error_kind=True also evaluates the ingest validity flag in the
+    SAME scan (payload bytes are read exactly once per pipeline run;
+    a separate errors pass would re-read the whole corpus)."""
+    from ..sources.clips import error_kind_expr
+
     norm = normalize_text(F.col("transcript"))
-    df = clips.select(
+    cols = [
         "clip_id",
         rank_expr().alias("rank"),
         norm.alias("norm"),
         "bytes", "sr_hz", "codec", "dur_ms",
-    )
+    ]
+    if with_error_kind:
+        cols.append(error_kind_expr().alias("error_kind"))
+    df = clips.select(*cols)
     df = df.withColumn(
         "shingle_hashes",
         # distinct: shingles are already distinct, but 31-bit base hashes

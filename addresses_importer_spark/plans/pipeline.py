@@ -35,7 +35,6 @@ from ..operators.signatures import build_features, build_signatures
 from ..operators.survivors import apply_deletions, pick_losers, survivor_table
 from ..operators.verify import verify_edges
 from ..sources.checkpoint import CheckpointStore
-from ..sources.clips import split_valid
 
 STAGES = [
     "errors", "features", "signatures", "candidates",
@@ -78,13 +77,31 @@ def run_pipeline(
         _t_last[0] = now
         return res.df
 
-    valid, errors = split_valid(clips)
-    errors_df = track(store.run_stage(spark, "errors", [], lambda: errors))
-
-    features = track(
+    # ONE pass over the payload bytes: features + the ingest validity
+    # flag come from the same scan (a separate errors pass would read
+    # the whole corpus twice; at 100 TB that is the most expensive scan
+    # in the job). The errors table is then derived from the slim
+    # features checkpoint.
+    features_all = track(
         store.run_stage(
             spark, "features", [],
-            lambda: build_features(valid, cfg, with_audio=with_audio),
+            lambda: build_features(
+                clips, cfg, with_audio=with_audio, with_error_kind=True
+            ),
+        )
+    )
+    features = features_all.filter(F.col("error_kind").isNull())
+    valid = clips.join(
+        features_all.filter(F.col("error_kind").isNotNull()).select("clip_id"),
+        "clip_id", "left_anti",
+    )
+
+    errors_df = track(
+        store.run_stage(
+            spark, "errors", ["features"],
+            lambda: features_all.filter(F.col("error_kind").isNotNull()).select(
+                "clip_id", F.col("error_kind").alias("kind")
+            ),
         )
     )
 

@@ -27,21 +27,27 @@ def read_clips(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def split_valid(clips: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(valid, errors). A clip is valid if it has at least one signal
-    to dedup on (non-empty transcript or non-empty bytes) and a sane
-    duration. Mirrors F1/F2 ingest filters (tools/src/lib.rs:543-546,
-    deduplicator.rs:471-477)."""
+def error_kind_expr() -> F.Column:
+    """NULL for valid rows, else the error kind. A clip is valid if it
+    has at least one signal to dedup on (non-empty transcript or
+    non-empty bytes) and a sane duration. Mirrors F1/F2 ingest filters
+    (tools/src/lib.rs:543-546, deduplicator.rs:471-477)."""
     has_text = F.col("transcript").isNotNull() & (F.trim("transcript") != "")
     has_audio = F.col("bytes").isNotNull() & (F.length("bytes") > 44)
     dur_ok = F.col("dur_ms").isNull() | (
         (F.col("dur_ms") > 0) & (F.col("dur_ms") < 6 * 3600 * 1000)
     )
-    kind = (
+    return (
         F.when(~(has_text | has_audio), F.lit(ERROR_EMPTY_PAYLOAD))
         .when(~dur_ok, F.lit(ERROR_BAD_DURATION))
     )
-    flagged = clips.withColumn("_error_kind", kind)
+
+
+def split_valid(clips: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, errors) — standalone split; the staged pipeline instead
+    folds the flag into the features scan so the corpus payload is read
+    once (plans/pipeline.py)."""
+    flagged = clips.withColumn("_error_kind", error_kind_expr())
     valid = flagged.filter(F.col("_error_kind").isNull()).drop("_error_kind")
     errors = (
         flagged.filter(F.col("_error_kind").isNotNull())
