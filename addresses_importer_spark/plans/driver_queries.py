@@ -376,7 +376,10 @@ def q_collision_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_COLLISION_COUNT = _with(
     [_CTE_CORPUS, _CTE_FEATS, _CTE_SIGS_MINHASH],
     """
-    SELECT coalesce(sum(n), 0) AS colliding_rows,
+    -- ::BIGINT: DuckDB's sum(BIGINT) returns HUGEINT, which fetchdf()
+    -- lowers to float64 (2011.0 vs Spark's int64 2011) — that broke the
+    -- driver's value hash in round 1 while rows+schema matched.
+    SELECT coalesce(sum(n), 0)::BIGINT AS colliding_rows,
            count(*) AS colliding_buckets
     FROM (
         SELECT bucket_key, count(DISTINCT clip_id) AS n

@@ -9,6 +9,7 @@ import sys
 import time
 
 import duckdb
+import pandas as pd
 
 from addresses_importer_spark.plans.driver_queries import ORACLES, QUERIES
 from addresses_importer_spark.session import get_spark
@@ -18,11 +19,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
-    if v is None:
+    """Type-strict normalization: an int64 2011 and a float64 2011.0 must
+    NOT compare equal — the driver's value hash distinguishes them (it
+    broke collision_count in round 1; DuckDB HUGEINT -> float64 via
+    fetchdf). Floats carry an 'f:' tag so int-vs-float divergence fails
+    here exactly like it fails there."""
+    import numpy as np
+
+    if v is None or v is pd.NA or (isinstance(v, float) and pd.isna(v)):
         return "NULL"
-    if isinstance(v, float):
-        return f"{v:.6g}"
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (float, np.floating)):
+        return f"f:{float(v):.6g}"
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
