@@ -59,7 +59,11 @@ class DedupConfig:
     #   On broadband-content audio, SNR>=30dB re-renders measure <= ~1
     #   flipped bit (noise perturbs log-mel energies far below band
     #   level); unrelated clips measure >= ~5 even adversarially.
-    #   Multi-probe blocking covers Hamming <= 7, comfortably above.
+    #   Multi-probe blocking guarantees a shared key for Hamming
+    #   <= 2*bands - 1 = 3 — exactly the verify threshold, zero margin
+    #   (pigeonhole: some band differs by <= 1 bit and the 1-flip probe
+    #   hits the other side's original). Raising simhash_max_hamming
+    #   therefore requires more bands or multi-bit probes.
     n_mels: int = 32                # log-mel bands
     frame_len: int = 512
     hop_len: int = 256
@@ -90,6 +94,17 @@ class DedupConfig:
             raise ValueError("bands * rows must equal num_perm")
         if self.simhash_bits % self.simhash_bands != 0:
             raise ValueError("simhash_bits must divide into simhash_bands")
+        if self.simhash_probe_bits not in (0, 1):
+            # only single-bit flips are ever emitted by
+            # simhash_band_keys_sql; >1 would silently under-probe
+            raise ValueError("simhash_probe_bits must be 0 or 1")
+        if 2 * self.simhash_bands - 1 < self.simhash_max_hamming:
+            raise ValueError(
+                "multi-probe blocking only guarantees Hamming <= "
+                f"{2 * self.simhash_bands - 1} (2*bands-1) but "
+                f"simhash_max_hamming={self.simhash_max_hamming}: "
+                "verified-range pairs could be missed by blocking"
+            )
 
     def minhash_perms(self) -> list[tuple[int, int]]:
         """Deterministic (a, b) pairs for h_i(x) = (a*x + b) % mod.

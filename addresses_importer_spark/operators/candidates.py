@@ -62,10 +62,19 @@ def index_bucket_sizes(signatures: DataFrame) -> DataFrame:
 
 
 def oversize_bucket_stats(signatures: DataFrame, cfg: DedupConfig) -> list:
-    """Per-detector counts of buckets dropped by the cap — the
-    reference's oversize-pack log (deduplicator.rs:141-147) as data."""
+    """Per-detector counts of buckets over the cap — the reference's
+    oversize-pack log (deduplicator.rs:141-147) as data.
+
+    The asymmetric tally is restricted to buckets actually probed by a
+    qry-role key; a pure role=both bucket (minhash bands) otherwise
+    appeared once in each tally (double-counted in round 1)."""
     sym = bucket_groups(signatures).filter(F.col("n") > cfg.bucket_cap)
-    asym = index_bucket_sizes(signatures).filter(F.col("n") > cfg.bucket_cap)
+    probed = signatures.filter(F.col("role") == ROLE_QRY).select(
+        "detector", "bucket_key"
+    ).distinct()
+    asym = index_bucket_sizes(signatures).filter(
+        F.col("n") > cfg.bucket_cap
+    ).join(probed, ["detector", "bucket_key"], "left_semi")
     out = (
         sym.select("detector", "n")
         .unionByName(asym.select("detector", "n"))

@@ -36,9 +36,17 @@ DETECTOR_SUFFIX = "suffix"
 
 
 def rank_expr() -> F.Column:
-    """Quality rank = codec priority + completeness bonus, mirroring the
-    reference's `priority + completeness/(1+NB_FIELDS)` ranking
-    (sources.rs:86-88, tools/src/lib.rs:111-120). Deterministic."""
+    """Quality rank = codec priority + completeness bonus + payload
+    richness, mirroring the reference's `priority +
+    completeness/(1+NB_FIELDS)` ranking (sources.rs:86-88,
+    tools/src/lib.rs:111-120). Deterministic.
+
+    The transcript-length term (<= 0.001, below every other term's
+    granularity) makes a containment pair keep the CONTAINER: without
+    it, text-only rows rank identically and the (rank, clip_id) desc
+    tiebreak can pick a truncated copy as the survivor — the wrong
+    record for a training-data pipeline. The term is replicated
+    verbatim in the DuckDB survivor oracles (driver_queries)."""
     codec_prio = F.coalesce(
         *[
             F.when(F.col("codec") == c, F.lit(float(p)))
@@ -54,7 +62,14 @@ def rank_expr() -> F.Column:
     dur_bonus = F.least(
         F.coalesce(F.col("dur_ms"), F.lit(0)).cast("double") / 60000.0, F.lit(1.0)
     )
-    return codec_prio + completeness / 10.0 + dur_bonus / 100.0
+    len_bonus = (
+        F.least(
+            F.coalesce(F.length("transcript"), F.lit(0)), F.lit(100000)
+        ).cast("double")
+        / 100000.0
+        / 1000.0
+    )
+    return codec_prio + completeness / 10.0 + dur_bonus / 100.0 + len_bonus
 
 
 def audio_simhash_udf(cfg: DedupConfig):

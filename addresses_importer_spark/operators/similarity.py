@@ -19,6 +19,11 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
+    """NULL for zero vectors: an unguarded division would fail the whole
+    job under Spark 4's default ANSI mode (DIVIDE_BY_ZERO) on the first
+    all-zero embedding. NULL never passes a `>= threshold` filter, so
+    zero vectors are simply unmatched — same convention as the DuckDB
+    oracle fragment (driver_queries._SQL_COS_AB)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v,
@@ -31,7 +36,7 @@ def cosine_expr(a: Column, b: Column) -> Column:
         F.transform(b, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v,
     ))
-    return dot / (na * nb)
+    return F.when(na * nb > 0, dot / (na * nb))
 
 
 def lsh_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -27,6 +27,7 @@ from ..operators.components import connected_components
 from ..operators.signatures import (
     DETECTOR_MINHASH, DETECTOR_SUFFIX, build_features, build_signatures,
 )
+from ..operators.similarity import cosine_expr as _cosine_expr
 from ..operators.survivors import apply_deletions, pick_losers
 from ..operators.verify import verify_edges
 
@@ -306,9 +307,11 @@ SQL_DEDUP_COMPONENTS = _with(
 
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1/C4/J3 graft: per-component survivor pick (equal ranks on this
-    corpus → max clip_id wins, deduplicator.rs:157-164 tiebreak) +
-    LEFT ANTI deletion (db_hashes.rs:306-319)."""
+    """C1/C4/J3 graft: per-component survivor pick by (rank desc,
+    clip_id desc) — rank's transcript-length term makes the FULL
+    document beat its 80%-prefix copy (deduplicator.rs:157-164
+    tiebreak + sources.rs:86-88 completeness) + LEFT ANTI deletion
+    (db_hashes.rs:306-319)."""
     corpus, feats, sigs = _corpus_feats_sigs(spark, sf_dir, (DETECTOR_MINHASH,))
     cands = build_candidates(sigs, CFG)
     verified = verify_edges(cands, feats, CFG).select("src", "dst").localCheckpoint(
@@ -319,19 +322,29 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_deletions(corpus, losers).select("clip_id")
 
 
+# rank replicated from operators/signatures.rank_expr for the contract
+# corpus (codec/dur/bytes all NULL there, so those terms are constant):
+# completeness/10 + len(transcript) richness term. Ordering-identical to
+# the Spark side because both engines evaluate the same double formula.
+_SQL_RANK = (
+    "((CASE WHEN cp.transcript IS NOT NULL THEN 1 ELSE 0 END) / 10.0"
+    " + least(coalesce(length(cp.transcript), 0), 100000) / 100000.0 / 1000.0)"
+)
+
 SQL_DEDUP_SURVIVORS = _with(
     [_CTE_CORPUS, _CTE_FEATS, _CTE_SIGS_MINHASH, _CTE_CANDS,
      _CTE_VERIFIED_MINHASH, _CTE_COMPONENTS],
-    """
+    f"""
     SELECT c.clip_id AS clip_id
     FROM corpus c
     LEFT JOIN (
         SELECT clip_id FROM (
-            SELECT clip_id,
+            SELECT cm.clip_id,
                    row_number() OVER (
-                       PARTITION BY component ORDER BY clip_id DESC
+                       PARTITION BY cm.component
+                       ORDER BY {_SQL_RANK} DESC, cm.clip_id DESC
                    ) AS rn
-            FROM components
+            FROM components cm JOIN corpus cp ON cp.clip_id = cm.clip_id
         ) WHERE rn > 1
     ) losers ON losers.clip_id = c.clip_id
     WHERE losers.clip_id IS NULL
@@ -569,20 +582,6 @@ FROM (
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
 
-def _cosine_expr(a, b) -> F.Column:
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v,
-    )
-    na = F.sqrt(F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v,
-    ))
-    nb = F.sqrt(F.aggregate(
-        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v,
-    ))
-    return dot / (na * nb)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,11 +605,17 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# zero-vector guard mirrors operators/similarity.cosine_expr: NULL when
+# either norm is 0 (NULL never passes a >= threshold filter)
 _SQL_COS_AB = """(
+    CASE WHEN sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))) > 0
+    THEN
     list_sum(list_transform(list_zip(a.embedding, b.embedding),
              p -> p[1]::DOUBLE * p[2]::DOUBLE))
     / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
        * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+    END
 )"""
 
 SQL_COSINE_TOPK = f"""

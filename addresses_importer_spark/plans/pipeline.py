@@ -68,6 +68,20 @@ def run_pipeline(
     metrics: dict = {}
     _t_last = [_time.time()]
 
+    # identity of the source data, pinned into the root stage manifest:
+    # re-running against the same checkpoint dir with a different input
+    # must recompute, not serve stale checkpoints. For file-backed frames
+    # this is metadata-only (the scan's file listing); for in-memory
+    # frames (tests) there are no input files and the config hash alone
+    # governs resume, as before.
+    import hashlib as _hashlib
+    in_files = sorted(clips.inputFiles())
+    input_fp = (
+        _hashlib.sha256(";".join(in_files).encode()).hexdigest()[:16]
+        + f":{len(in_files)}"
+        if in_files else None
+    )
+
     def track(res):
         if res.resumed:
             resumed.append(res.stage)
@@ -88,6 +102,7 @@ def run_pipeline(
             lambda: build_features(
                 clips, cfg, with_audio=with_audio, with_error_kind=True
             ),
+            input_fingerprint=input_fp,
         )
     )
     features = features_all.filter(F.col("error_kind").isNull())
@@ -125,7 +140,10 @@ def run_pipeline(
     candidates = track(
         store.run_stage(
             spark, "candidates", ["signatures"], compute_candidates,
-            counters=metrics.get("oversize_buckets"),
+            # callable: resolved after compute_candidates populated the
+            # metric (a dict lookup here ran before compute and recorded
+            # {} in every manifest)
+            counters=lambda: metrics.get("oversize_buckets"),
         )
     )
 

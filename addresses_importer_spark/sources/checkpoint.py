@@ -22,18 +22,34 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, types as T
 
 
-def _count_rows_from_footers(path: str) -> int:
-    """Row count from parquet file footers — metadata-only, no Spark
-    job. Stage manifests record counts for 8+ stages per run; a full
-    scan per stage is pure serial driver overhead at scale."""
+def _footer_stats(path: str) -> tuple[int, int, str]:
+    """(rows, num_files, content_digest) from parquet file footers —
+    metadata-only, no Spark job. Stage manifests record counts for 8+
+    stages per run; a full scan per stage is pure serial driver
+    overhead at scale.
+
+    The digest folds each file's (relative path, byte size, row count)
+    — a content-sensitive fingerprint: an upstream recompute that keeps
+    the same total row count but different data almost surely changes
+    file sizes (zstd parquet), invalidating downstream stages. Round 1
+    fingerprinted config_hash:rowcount only, which could silently serve
+    stale results after a same-rowcount recompute."""
+    import hashlib
+
     import pyarrow.parquet as pq
 
-    total = 0
+    rows, files = 0, []
     for dirpath, _dirnames, filenames in os.walk(path):
         for fn in filenames:
             if fn.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(dirpath, fn)).metadata.num_rows
-    return total
+                full = os.path.join(dirpath, fn)
+                n = pq.ParquetFile(full).metadata.num_rows
+                rows += n
+                files.append((os.path.relpath(full, path), os.path.getsize(full), n))
+    h = hashlib.sha256()
+    for rel, size, n in sorted(files):
+        h.update(f"{rel}:{size}:{n};".encode())
+    return rows, len(files), h.hexdigest()[:16]
 
 
 @dataclass
@@ -45,10 +61,22 @@ class StageResult:
 
 
 class CheckpointStore:
+    """Manifest IO is driver-local POSIX (json/os.walk/pyarrow footers).
+    On a cluster the checkpoint_dir must therefore be a path every
+    executor AND the driver can reach as a filesystem (local, NFS, or a
+    FUSE mount); bare hdfs://-style URIs are rejected up front instead
+    of writing parquet fine and then recording rows=0 manifests."""
+
     def __init__(self, root: str, config_hash: str):
-        self.root = root
+        scheme = root.split("://", 1)[0] if "://" in root else "file"
+        if scheme not in ("file",):
+            raise ValueError(
+                f"checkpoint dir {root!r}: scheme {scheme!r} unsupported — "
+                "manifests use driver-local IO; use a local/NFS/FUSE path"
+            )
+        self.root = root[len("file://"):] if root.startswith("file://") else root
         self.config_hash = config_hash
-        os.makedirs(root, exist_ok=True)
+        os.makedirs(self.root, exist_ok=True)
 
     def _dir(self, stage: str) -> str:
         return os.path.join(self.root, stage)
@@ -66,9 +94,15 @@ class CheckpointStore:
         with open(path) as f:
             return json.load(f)
 
-    def is_complete(self, stage: str, upstream: list[str]) -> bool:
+    def is_complete(self, stage: str, upstream: list[str],
+                    input_fingerprint: str | None = None) -> bool:
         m = self.manifest(stage)
         if m is None or m.get("config_hash") != self.config_hash:
+            return False
+        if input_fingerprint is not None and m.get("input") != input_fingerprint:
+            # root stages (no upstream manifests) are pinned to their
+            # source data identity: re-running with a different --input
+            # against the same checkpoint dir must recompute
             return False
         for up in upstream:
             um = self.manifest(up)
@@ -87,11 +121,17 @@ class CheckpointStore:
         return reader.parquet(self._data_path(stage))
 
     def write(self, stage: str, df: DataFrame, upstream: list[str],
-              counters: dict | None = None,
-              partition_by: list[str] | None = None) -> StageResult:
+              counters=None, partition_by: list[str] | None = None,
+              input_fingerprint: str | None = None) -> StageResult:
         """Materialize a stage: parquet (zstd) + manifest. The manifest
-        fingerprint is (config_hash, rows) — enough to invalidate
-        downstream stages when an upstream is recomputed."""
+        fingerprint is (config_hash, rows, footer content digest) —
+        content-sensitive, so an upstream recompute invalidates
+        downstream stages even at an identical row count.
+
+        `counters` may be a dict or a zero-arg callable; callables are
+        resolved AFTER the write (i.e. after `compute` side effects
+        populated them — a plain dict evaluated at call-build time
+        recorded {} forever)."""
         path = self._data_path(stage)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -100,33 +140,33 @@ class CheckpointStore:
         # explicit schema: a 0-row stage writes no parquet files and
         # schema inference would fail (empty-corpus / fully-filtered runs)
         out = df.sparkSession.read.schema(df.schema).parquet(path)
-        rows = _count_rows_from_footers(path)
+        rows, num_files, digest = _footer_stats(path)
         manifest = {
             "stage": stage,
             "config_hash": self.config_hash,
             "schema": df.schema.json(),
             "rows": rows,
-            "fingerprint": f"{self.config_hash}:{rows}",
+            "fingerprint": f"{self.config_hash}:{rows}:{digest}",
+            "input": input_fingerprint,
             "upstream": {
                 up: (self.manifest(up) or {}).get("fingerprint") for up in upstream
             },
-            "counters": counters or {},
-            "num_files": sum(
-                1 for _, _, files in os.walk(path) for fn in files
-                if fn.endswith(".parquet")
-            ),
+            "counters": (counters() if callable(counters) else counters) or {},
+            "num_files": num_files,
         }
         with open(self._manifest_path(stage), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
         return StageResult(stage, out, rows, resumed=False)
 
     def run_stage(self, spark: SparkSession, stage: str, upstream: list[str],
-                  compute, counters: dict | None = None,
-                  partition_by: list[str] | None = None) -> StageResult:
+                  compute, counters=None,
+                  partition_by: list[str] | None = None,
+                  input_fingerprint: str | None = None) -> StageResult:
         """Resume-or-compute: skip `compute` entirely when the manifest
         chain matches (the kill-and-resume contract)."""
-        if self.is_complete(stage, upstream):
+        if self.is_complete(stage, upstream, input_fingerprint):
             df = self.read(spark, stage)
             m = self.manifest(stage)
             return StageResult(stage, df, int(m["rows"]), resumed=True)
-        return self.write(stage, compute(), upstream, counters, partition_by)
+        return self.write(stage, compute(), upstream, counters, partition_by,
+                          input_fingerprint)

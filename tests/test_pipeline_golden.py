@@ -105,6 +105,38 @@ def test_export_fidelity(spark, tmp_path, with_dupes_result):
     assert a == b
 
 
+def test_containment_pair_container_survives(spark, tmp_path):
+    """Rank's transcript-length term must keep the FULL document when a
+    truncated copy ties on every other rank term (round-1 wart: the
+    (rank, clip_id) desc tiebreak picked the copy whenever its id
+    sorted higher). clip_ids here are chosen so the OLD tiebreak would
+    pick the truncated row."""
+    import pandas as pd
+
+    full = (
+        "the quick brown fox jumps over the lazy dog while seventy "
+        "shimmering satellites trace slow arcs across the winter sky "
+        "and the observatory logs every transit with patient precision"
+    )
+    trunc = full[: int(len(full) * 0.8)]
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["a_full", "z_trunc"],
+            "bytes": [None, None],
+            "sr_hz": [None, None],
+            "dur_ms": [None, None],
+            "codec": [None, None],
+            "transcript": [full, trunc],
+        }
+    )
+    clips = to_spark(spark, pdf)
+    res = run_pipeline(
+        spark, clips, CFG, str(tmp_path / "ckpt"), with_audio=False
+    )
+    survivors = {r["clip_id"] for r in res.survivors.select("clip_id").collect()}
+    assert survivors == {"a_full"}, survivors
+
+
 def test_payload_passthrough_invariant(with_dupes_result):
     """Survivor rows carry byte-identical payload + transcript — the
     engine never rewrites data (BASELINE.json per-row invariant)."""

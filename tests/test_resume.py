@@ -54,6 +54,36 @@ def test_config_change_invalidates(spark, tmp_path):
     assert res.resumed_stages == []
 
 
+def test_input_change_invalidates(spark, tmp_path):
+    """Same checkpoint dir, different --input path: the features stage's
+    input fingerprint must force a full recompute (round-1 gap: only
+    config hash + row count were fingerprinted, so a swapped input with
+    a lucky row count served stale checkpoints)."""
+    pdf, truth = fixture_with_dupes()
+    ckpt = str(tmp_path / "ck")
+    p1, p2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    to_spark(spark, pdf).write.parquet(p1)
+    to_spark(spark, pdf).write.parquet(p2)  # same rows, different path
+
+    run_pipeline(spark, spark.read.parquet(p1), CFG, ckpt)
+    res = run_pipeline(spark, spark.read.parquet(p2), CFG, ckpt)
+    assert "features" not in res.resumed_stages
+
+
+def test_counters_recorded_in_manifest(spark, tmp_path):
+    """The candidates manifest must carry the oversize-bucket counters
+    computed DURING the stage (round-1 bug: counters were read before
+    compute ran, recording {} forever). With a tiny cap every bucket is
+    oversize, so the counter must be non-empty."""
+    pdf, truth = fixture_with_dupes()
+    clips = to_spark(spark, pdf)
+    cfg = DedupConfig(bucket_cap=2)
+    run_pipeline(spark, clips, cfg, str(tmp_path / "ck"), with_audio=False)
+    with open(os.path.join(str(tmp_path / "ck"), "candidates", "MANIFEST.json")) as f:
+        m = json.load(f)
+    assert m["counters"], "oversize-bucket counters missing from manifest"
+
+
 def test_manifest_contents(spark, tmp_path):
     pdf, truth = fixture_with_dupes()
     clips = to_spark(spark, pdf)
