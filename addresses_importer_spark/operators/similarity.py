@@ -13,6 +13,7 @@ no Python in the scan path.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -73,6 +74,138 @@ def brute_force_topk(emb: DataFrame, query_vec: DataFrame, k: int = 10,
         .select(id_col, sim.alias("sim"))
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def lsh_sizing(n: int, target_cos: float = 0.97, target_recall: float = 0.999,
+               slack: int = 1, min_planes: int = 8) -> tuple[int, int]:
+    """(bands, planes_per_band) for banded sign-LSH over n vectors.
+
+    Sizing rule (the round-1 plane count was fixed at 16, i.e. pair
+    volume Θ(n²/2^16) — quadratic again at 10^9 vectors):
+
+    - planes_per_band r = max(min_planes, ceil(log2 n) + slack), so a
+      RANDOM pair collides in one band with prob 2^-r <= 2^-slack / n
+      and expected per-band candidate volume C(n,2)/2^r <= n/2^(slack+1)
+      stays linear in n by construction;
+    - bands b = smallest count with banded recall 1-(1-a^r)^b >=
+      target_recall for a true near-dup at cosine target_cos, where
+      a = 1 - arccos(cos)/pi is the per-plane agreement probability.
+      b grows ~n^(log2(1/a)) — for 0.97-cosine dups that is ~n^0.12, so
+      total candidate volume is the classic near-linear LSH n^(1+rho),
+      rho ≈ 0.12 (tested in tests/test_similarity.py).
+    """
+    r = max(min_planes, math.ceil(math.log2(max(n, 2))) + slack)
+    a = 1.0 - math.acos(min(max(target_cos, -1.0), 1.0)) / math.pi
+    p_band = a ** r
+    b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
+    return b, r
+
+
+def banded_planes(dim: int, bands: int, rows: int,
+                  seed: int = 42) -> list[list[list[float]]]:
+    """bands × rows hyperplanes, sliced from the same seeded stream as
+    lsh_planes (single-band configs stay bit-compatible)."""
+    flat = lsh_planes(dim, bands * rows, seed)
+    return [flat[b * rows:(b + 1) * rows] for b in range(bands)]
+
+
+def _fmt(w: float, engine: str) -> str:
+    """A double literal both engines parse to the bit-identical value:
+    scientific notation with 17 significant digits is a DOUBLE literal
+    in Spark SQL and DuckDB alike (a bare '0.1...' is DECIMAL in both)."""
+    return f"{w:.17e}"
+
+
+def _dot_sql(col: str, plane: list[float], engine: str) -> str:
+    """vec · plane with a left-to-right accumulation order that is
+    bit-identical across engines, in each engine's cheapest-to-compile
+    form:
+
+    - Spark: aggregate(zip_with(...)) — codegen emits a LOOP. Unrolled
+      64-term sums looked equivalent but Janino OOM'd the driver
+      compiling ~10k unrolled multiply terms per projection (observed
+      at 14 bands x 11 planes x 64 dims).
+    - DuckDB: explicit unrolled sum — lambdas there are re-evaluated
+      per reference (round 1's 4096x CTE blowup), and the oracle runs
+      once per band branch so unrolled is both safe and fast.
+
+    Parity: IEEE fold from 0.0 (0.0 + x == x exactly) then strictly
+    left-assoc adds in both forms → identical doubles → identical
+    sign-bit buckets."""
+    if engine == "duckdb":  # 1-indexed lists
+        return "(" + " + ".join(
+            f"{col}[{i + 1}] * {_fmt(w, engine)}" for i, w in enumerate(plane)
+        ) + ")"
+    weights = ", ".join(_fmt(w, engine) for w in plane)
+    return (
+        f"aggregate(zip_with({col}, array({weights}), (x, y) -> x * y), "
+        f"0.0e0, (acc, v) -> acc + v)"
+    )
+
+
+def band_bucket_sql(col: str, band_planes: list[list[float]],
+                    engine: str) -> str:
+    """One band's sign-bit bucket id: bit i = (vec · plane_i > 0)."""
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_sql(col, p, engine)} > 0.0e0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(band_planes)
+    )
+    return f"({bits})"
+
+
+def banded_bucket_structs_sql(col: str,
+                              planes_by_band: list[list[list[float]]]) -> str:
+    """Spark SQL: array of (band, bucket) structs, exploded 1:bands —
+    the embedding analog of the minhash band-key fan-out."""
+    entries = [
+        f"named_struct('band', {b}, 'bucket', {band_bucket_sql(col, planes, 'spark')})"
+        for b, planes in enumerate(planes_by_band)
+    ]
+    return "array(" + ", ".join(entries) + ")"
+
+
+def ann_near_dup_pairs_banded(emb: DataFrame,
+                              planes_by_band: list[list[list[float]]],
+                              threshold: float,
+                              id_col: str = "vec_id") -> DataFrame:
+    """Banded sign-LSH near-dup pairs: same (band, bucket) → candidate,
+    exact cosine >= threshold → pair. The blocking→verify shape of the
+    dedup detectors applied to embeddings; with lsh_sizing this is the
+    scale path (near-linear candidate volume), replacing the round-1
+    contract/bench entry's O(n²) crossJoin.
+
+    The bucket join shuffles only (id, band, bucket) int rows; the two
+    verify joins move each embedding once per matched pair side."""
+    bucketed = emb.select(
+        F.col(id_col),
+        F.explode(F.expr(banded_bucket_structs_sql("embedding", planes_by_band))).alias("e"),
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+    # lineage cut: the bucket projection is a ~b*r*dim-node expression
+    # tree; self-joining it unmaterialized duplicates that tree into
+    # both join sides and the broadcast/codegen build OOMs the driver
+    # (observed at 14 bands x 11 planes x 64 dims; localCheckpoint's
+    # RDD-conversion codegen OOMs too — it lacks whole-stage codegen's
+    # huge-method fallback). persist + eager count materializes through
+    # the DataFrame path, so downstream joins see only the cached
+    # (id, band, bucket) ints. MEMORY_AND_DISK: spills, never OOMs.
+    bucketed = bucketed.persist()
+    bucketed.count()
+    a = bucketed.select(F.col(id_col).alias("src_vec"), "band", "bucket")
+    b = bucketed.select(F.col(id_col).alias("dst_vec"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("src_vec") < F.col("dst_vec"))
+        .select("src_vec", "dst_vec")
+        .dropDuplicates(["src_vec", "dst_vec"])
+    )
+    ea = emb.select(F.col(id_col).alias("src_vec"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col(id_col).alias("dst_vec"), F.col("embedding").alias("eb"))
+    sim = cosine_expr(F.col("ea"), F.col("eb"))
+    return (
+        cands.join(ea, "src_vec").join(eb, "dst_vec")
+        .filter(sim >= threshold)
+        .select("src_vec", "dst_vec")
     )
 
 

@@ -27,7 +27,10 @@ from ..operators.components import connected_components
 from ..operators.signatures import (
     DETECTOR_MINHASH, DETECTOR_SUFFIX, build_features, build_signatures,
 )
-from ..operators.similarity import cosine_expr as _cosine_expr
+from ..operators.similarity import (
+    ann_near_dup_pairs_banded, band_bucket_sql, banded_planes,
+    cosine_expr as _cosine_expr, lsh_sizing,
+)
 from ..operators.survivors import apply_deletions, pick_losers
 from ..operators.verify import verify_edges
 
@@ -683,6 +686,52 @@ FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 WHERE {_SQL_COS_AB} >= 0.9
 """
 
+# --- banded-LSH variant: the SCALE path, oracle-checked ---------------------
+# Sizing pinned at the correctness-gate scale (sf0.01 corpus: 500
+# embeddings + 125 planted copies = 625 vectors, planted cosine >= 0.97)
+# per operators/similarity.lsh_sizing — the oracle SQL is a static
+# string, so the contract entry uses one fixed (bands, rows); the
+# n-dependent rule itself is unit-tested in tests/test_similarity.py.
+_LSH_NDUP_THRESHOLD = 0.9
+_LSH_BANDS, _LSH_ROWS = lsh_sizing(625, target_cos=0.97, target_recall=0.99)
+_LSH_PLANES = banded_planes(64, _LSH_BANDS, _LSH_ROWS, seed=CFG.seed)
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH embedding near-dup pairs (>= 0.9) — the
+    contracted + benched operator (the brute crossJoin above stays as
+    the small-sf truth oracle; its O(n²) plan was round 1's worst bench
+    query). Bucket math is explicit left-assoc double sums, bit-exact
+    vs the DuckDB oracle."""
+    emb = _emb_corpus(spark, sf_dir)
+    return ann_near_dup_pairs_banded(emb, _LSH_PLANES, _LSH_NDUP_THRESHOLD)
+
+
+def _sql_embedding_near_dup_lsh() -> str:
+    per_band = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"{band_bucket_sql('e', planes, 'duckdb')} AS bucket FROM embd"
+        for b, planes in enumerate(_LSH_PLANES)
+    )
+    return f"""
+WITH {_SQL_EMB_CORPUS},
+embd AS MATERIALIZED (SELECT vec_id, embedding AS e FROM emb),
+bucketed AS MATERIALIZED ({per_band}),
+cands AS (
+    SELECT DISTINCT l.vec_id AS src_vec, r.vec_id AS dst_vec
+    FROM bucketed l JOIN bucketed r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT c.src_vec AS src_vec, c.dst_vec AS dst_vec
+FROM cands c
+JOIN (SELECT vec_id, e AS embedding FROM embd) a ON a.vec_id = c.src_vec
+JOIN (SELECT vec_id, e AS embedding FROM embd) b ON b.vec_id = c.dst_vec
+WHERE {_SQL_COS_AB} >= {_LSH_NDUP_THRESHOLD}
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP_LSH = _sql_embedding_near_dup_lsh()
+
 
 # ---------------------------------------------------------------------------
 # relational-operator parity (reference ops over the driver tables)
@@ -811,6 +860,7 @@ QUERIES = {
     "text_simhash": q_text_simhash,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "errors_by_kind": q_errors_by_kind,
     "counts_distinct": q_counts_distinct,
     "union_sources": q_union_sources,
@@ -834,6 +884,7 @@ ORACLES = {
     "text_simhash": SQL_TEXT_SIMHASH,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     "errors_by_kind": SQL_ERRORS_BY_KIND,
     "counts_distinct": SQL_COUNTS_DISTINCT,
     "union_sources": SQL_UNION_SOURCES,

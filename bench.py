@@ -43,7 +43,10 @@ BENCH_QUERIES = [
     "lang_id",
     "doc_fingerprint",
     "cosine_topk",
-    "embedding_near_dup",
+    # LSH-banded variant: the scale path (round 1 benched the brute
+    # O(n²) crossJoin — 54s at sf0.1 and a scale-killer; the brute
+    # query remains the small-sf truth oracle only)
+    "embedding_near_dup_lsh",
 ]
 
 

@@ -4,7 +4,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from addresses_importer_spark.operators.similarity import (
-    ann_near_dup_pairs, brute_force_topk, ivf_topk, lsh_planes,
+    ann_near_dup_pairs, ann_near_dup_pairs_banded, banded_planes,
+    brute_force_topk, ivf_topk, lsh_planes, lsh_sizing,
 )
 
 DIM = 16
@@ -42,6 +43,54 @@ def test_ann_near_dup_recall(emb):
     assert recall >= 0.9, f"recall {recall}: {sorted(expected - got)}"
     # no false positives above threshold (cosine verify is exact)
     assert all(p in expected for p in got)
+
+
+def test_lsh_sizing_pair_volume_stays_linear():
+    """The sizing rule must keep expected RANDOM-pair candidate volume
+    near-linear across 10x corpus growth (round-1 weakness: a fixed 16
+    planes is Θ(n²/2^16) — quadratic again at 10^9 vectors). Random
+    pairs collide per band with prob 2^-r, so expected volume is
+    b * C(n,2) / 2^r; the rule guarantees <= b * n / 2^(slack+1), i.e.
+    O(n) up to the slowly-growing band count (~n^0.12)."""
+    prev_per_n = None
+    for n in [1_000, 10_000, 100_000, 1_000_000, 10_000_000]:
+        b, r = lsh_sizing(n, target_cos=0.97, target_recall=0.999)
+        volume = b * n * (n - 1) / 2 / 2**r
+        assert volume <= b * n / 2, (n, b, r, volume)
+        per_n = volume / n
+        if prev_per_n is not None:
+            # per-row volume may not blow up across a 10x step (the
+            # band count growth is ~10^0.12 ≈ 1.3x per decade)
+            assert per_n <= prev_per_n * 2, (n, per_n, prev_per_n)
+        prev_per_n = per_n
+
+
+def test_banded_lsh_recall_vs_brute_sf01(spark):
+    """Banded LSH with rule-derived sizing must recover >= 0.99 of the
+    brute-force (truth) near-dup pairs on the sf0.1 planted-copy corpus
+    (VERDICT round-1 item 2: make the scale path recall-proven)."""
+    from addresses_importer_spark.plans.driver_queries import (
+        _emb_corpus, q_embedding_near_dup,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    emb = _emb_corpus(spark, sf_dir)
+    n = emb.count()
+    b, r = lsh_sizing(n, target_cos=0.97, target_recall=0.999)
+    planes = banded_planes(64, b, r)
+    got = {
+        (x["src_vec"], x["dst_vec"])
+        for x in ann_near_dup_pairs_banded(emb, planes, 0.9).collect()
+    }
+    truth = {
+        (x["src_vec"], x["dst_vec"])
+        for x in q_embedding_near_dup(spark, sf_dir).collect()
+    }
+    assert truth, "brute truth set empty — corpus generation broke"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.99, f"recall {recall:.4f} ({len(got & truth)}/{len(truth)})"
+    # exact-cosine verify means zero false positives
+    assert got <= truth, sorted(got - truth)[:5]
 
 
 def test_ivf_topk_finds_planted_copy(emb):
