@@ -82,6 +82,13 @@ class DedupConfig:
     #     deduplicator.rs:120-155; we cap + count, never silently) ------
     bucket_cap: int = 5000
 
+    # --- survivors anti-join strategy -----------------------------------
+    broadcast_ids_max: int = 5_000_000  # loser sets up to this many ids
+    #   are broadcast for the final anti-join (~125 MB hashed — payload
+    #   bytes never enter an Exchange); above it the pipeline writes the
+    #   valid clips as a clip_id-bucketed table and anti-joins against
+    #   it, exchanging only the slim loser ids (survivors.py)
+
     # --- connected components ------------------------------------------
     cc_max_iters: int = 25
     cc_checkpoint_every: int = 4

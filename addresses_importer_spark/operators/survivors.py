@@ -33,12 +33,51 @@ def pick_losers(components: DataFrame, ranks: DataFrame) -> DataFrame:
     )
 
 
-def apply_deletions(clips: DataFrame, losers: DataFrame) -> DataFrame:
+def apply_deletions(clips: DataFrame, losers: DataFrame,
+                    broadcast: bool = False) -> DataFrame:
     """Survivors = clips LEFT ANTI losers (db_hashes.rs:306-319 analog).
 
     Clips never seen in any verified edge are untouched — they simply
-    aren't in ``losers``."""
-    return clips.join(losers, "clip_id", "left_anti")
+    aren't in ``losers``.
+
+    broadcast=True pins a broadcast-hash anti-join: the payload side
+    (30 KB audio blobs) streams through without ever entering an
+    Exchange. Round 1 left this to the planner, which fell back to a
+    sort-merge join shuffling the entire payload column whenever losers
+    exceeded the 10 MB autoBroadcast threshold — the single biggest
+    data movement in the job at scale. Callers gate on the known loser
+    row count (pipeline uses the losers stage manifest)."""
+    l = losers.select("clip_id")
+    if broadcast:
+        l = F.broadcast(l)
+    return clips.join(l, "clip_id", "left_anti")
+
+
+def apply_deletions_bucketed(valid: DataFrame, losers: DataFrame,
+                             table_name: str, path: str,
+                             n_buckets: int) -> DataFrame:
+    """Payload-exchange-free anti-join for loser sets too big to
+    broadcast: write the valid clips once as a clip_id-bucketed table
+    (bucketBy writes shuffle-free — each task splits its rows into its
+    own bucket files), then anti-join. The bucketed scan satisfies the
+    join's hash distribution, so only the slim loser ids are exchanged;
+    payload bytes never cross a shuffle (asserted in tests/test_plans).
+
+    On a production cluster the input Iceberg table would already be
+    bucketed by clip_id and this extra materialization disappears; here
+    it doubles write volume vs the broadcast path, which is why the
+    pipeline only takes this branch above cfg.broadcast_ids_max.
+    Reference shape: mark-then-apply, db_hashes.rs:306-319."""
+    spark = valid.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    (
+        valid.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "clip_id").sortBy("clip_id")
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
+    bucketed = spark.table(table_name)
+    return bucketed.join(losers.select("clip_id"), "clip_id", "left_anti")
 
 
 def survivor_table(components: DataFrame, ranks: DataFrame) -> DataFrame:

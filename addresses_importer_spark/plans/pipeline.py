@@ -32,7 +32,9 @@ from ..config import DedupConfig
 from ..operators.candidates import build_candidates, oversize_bucket_stats
 from ..operators.components import connected_components
 from ..operators.signatures import build_features, build_signatures
-from ..operators.survivors import apply_deletions, pick_losers, survivor_table
+from ..operators.survivors import (
+    apply_deletions, apply_deletions_bucketed, pick_losers, survivor_table,
+)
 from ..operators.verify import verify_edges
 from ..sources.checkpoint import CheckpointStore
 
@@ -106,10 +108,13 @@ def run_pipeline(
         )
     )
     features = features_all.filter(F.col("error_kind").isNull())
-    valid = clips.join(
-        features_all.filter(F.col("error_kind").isNotNull()).select("clip_id"),
-        "clip_id", "left_anti",
-    )
+    # valid = pure expression filter at the scan — error_kind is
+    # deterministic from clips columns, so no join is needed at all
+    # (round 1 anti-joined against the error ids, which put the payload
+    # column through a sort-merge shuffle whenever the error set
+    # exceeded the broadcast threshold).
+    from ..sources.clips import error_kind_expr
+    valid = clips.filter(error_kind_expr().isNull())
 
     errors_df = track(
         store.run_stage(
@@ -173,11 +178,24 @@ def run_pipeline(
         )
     )
 
-    survivors = track(
-        store.run_stage(
-            spark, "survivors", ["losers"],
-            lambda: apply_deletions(valid, losers),
+    # payload-exchange-free survivors: broadcast the loser ids when they
+    # fit (row count is known from the losers stage manifest — no extra
+    # job); otherwise bucketed-storage anti-join. Either way no Exchange
+    # ever carries the audio payload (plan-asserted in tests/test_plans).
+    losers_rows = metrics["rows:losers"]
+
+    def compute_survivors():
+        if losers_rows <= cfg.broadcast_ids_max:
+            return apply_deletions(valid, losers, broadcast=True)
+        return apply_deletions_bucketed(
+            valid, losers,
+            table_name=f"valid_bucketed_{cfg.config_hash()}",
+            path=f"{checkpoint_dir}/valid_bucketed",
+            n_buckets=int(spark.conf.get("spark.sql.shuffle.partitions")),
         )
+
+    survivors = track(
+        store.run_stage(spark, "survivors", ["losers"], compute_survivors)
     )
 
     return PipelineResult(

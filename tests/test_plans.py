@@ -68,6 +68,74 @@ def test_whole_stage_codegen_on_minhash(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def _exchange_blocks(plan: str) -> list[str]:
+    """Formatted-explain detail blocks whose node is any Exchange
+    (shuffle or broadcast)."""
+    return [
+        b for b in plan.split("\n\n")
+        if b.strip() and "Exchange" in b.strip().splitlines()[0]
+    ]
+
+
+def test_survivors_broadcast_mode_no_payload_exchange(spark, tmp_path):
+    """Survivors anti-join, broadcast mode: loser ids broadcast, payload
+    column streams — NO Exchange node may list `bytes` among its
+    columns (round 1's latent scale-killer: SMJ shuffled the whole
+    payload when losers outgrew the autoBroadcast threshold)."""
+    from addresses_importer_spark.operators.survivors import apply_deletions
+
+    pdf, _ = fixture_with_dupes()
+    path = str(tmp_path / "clips")
+    to_spark(spark, pdf).write.parquet(path)
+    valid = spark.read.parquet(path)
+    losers = valid.select("clip_id").limit(3)
+
+    plan = plan_of(apply_deletions(valid, losers, broadcast=True))
+    assert "BroadcastExchange" in plan
+    for b in _exchange_blocks(plan):
+        assert "bytes#" not in b, f"payload crosses an exchange:\n{b}"
+
+
+def test_survivors_bucketed_mode_no_payload_exchange(spark, tmp_path):
+    """Survivors anti-join, bucketed-storage mode (losers too big to
+    broadcast): the valid table is bucketed by clip_id, so the join
+    exchanges only the slim loser ids."""
+    from addresses_importer_spark.operators.survivors import (
+        apply_deletions_bucketed,
+    )
+
+    pdf, _ = fixture_with_dupes()
+    path = str(tmp_path / "clips")
+    to_spark(spark, pdf).write.parquet(path)
+    valid = spark.read.parquet(path)
+    losers = valid.select("clip_id").limit(3)
+
+    surv = apply_deletions_bucketed(
+        valid, losers, table_name="t_surv_bucketed_plan",
+        path=str(tmp_path / "valid_bucketed"), n_buckets=8,
+    )
+    plan = plan_of(surv)
+    for b in _exchange_blocks(plan):
+        assert "bytes#" not in b, f"payload crosses an exchange:\n{b}"
+    assert surv.count() == len(pdf) - 3
+    spark.sql("DROP TABLE IF EXISTS t_surv_bucketed_plan")
+
+
+def test_pipeline_bucketed_survivors_equal_broadcast(spark, tmp_path):
+    """Forcing the bucketed branch (broadcast_ids_max=0) must produce
+    byte-identical survivor id sets vs the broadcast branch."""
+    import dataclasses
+
+    pdf, _ = fixture_with_dupes()
+    clips = to_spark(spark, pdf)
+    res_b = run_pipeline(spark, clips, CFG, str(tmp_path / "ck_b"))
+    cfg0 = dataclasses.replace(CFG, broadcast_ids_max=0)
+    res_s = run_pipeline(spark, clips, cfg0, str(tmp_path / "ck_s"))
+    ids_b = {r["clip_id"] for r in res_b.survivors.select("clip_id").collect()}
+    ids_s = {r["clip_id"] for r in res_s.survivors.select("clip_id").collect()}
+    assert ids_b == ids_s
+
+
 def test_bytes_never_leaves_features_stage(spark, tmp_path):
     """Checkpoint schemas: only `features`' *input* sees audio. Every
     materialized stage schema is binary-free, so no shuffle or stage
