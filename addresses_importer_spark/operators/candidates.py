@@ -18,9 +18,17 @@ Two pairing modes, driven by the signature `role` column:
   2.6k synthetic corpus: 1.48M → ~10k candidates after the redesign).
 
 Skew guard: the reference silently DROPS packs > 5000 members
-(deduplicator.rs:120-155, logging the first 10). We apply the same cap
-per bucket (symmetric: member count; asymmetric: index-side count) and
-surface counts via oversize_bucket_stats — nothing disappears silently.
+(deduplicator.rs:120-155, logging the first 10). Round 1 capped +
+counted (buckets over the cap contributed nothing). Round 2 SALTS
+instead: members of a bucket with n > cap are split into S = ceil(n /
+cap) sub-buckets by pmod(md5(clip_id), S) and paired within their
+sub-bucket, so a hot bucket contributes at most ~n*cap/2 pairs (linear
+in n, never quadratic) with non-zero in-bucket recall (~1/S of
+in-bucket pairs, while other bands still catch most true dups). The
+md5-based salt is oracle-expressible; the correctness-gate corpus has
+no oversize buckets (asserted in tests), so the DuckDB CTEs stay
+cap-only. oversize_bucket_stats still surfaces hot-bucket counts —
+nothing disappears silently, and now nothing is dropped either.
 """
 
 from __future__ import annotations
@@ -28,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import DedupConfig
+from ..functions.hashing import md5_long
 from .signatures import ROLE_BOTH, ROLE_QRY
 
 #: buckets up to this size expand pairs via a JVM array comprehension in
@@ -84,8 +93,29 @@ def oversize_bucket_stats(signatures: DataFrame, cfg: DedupConfig) -> list:
     return out.collect()
 
 
+def _salt_expr(n_col: str, cap: int) -> F.Column:
+    """pmod(md5(clip_id), ceil(n/cap)) — deterministic sub-bucket id,
+    0 for buckets within the cap (S=1)."""
+    s = F.ceil(F.col(n_col) / F.lit(cap)).cast("long")
+    return F.pmod(md5_long(F.col("clip_id")), F.greatest(s, F.lit(1)))
+
+
 def _symmetric_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    groups = bucket_groups(signatures).filter(F.col("n") <= cfg.bucket_cap)
+    all_groups = bucket_groups(signatures)
+    ok = all_groups.filter(F.col("n") <= cfg.bucket_cap).withColumn(
+        "salt", F.lit(0).cast("long")
+    )
+    # hot buckets: explode, salt, regroup into ~cap-sized sub-buckets
+    hot = (
+        all_groups.filter(F.col("n") > cfg.bucket_cap)
+        .select("detector", "bucket_key", "n", F.explode("members").alias("clip_id"))
+        .withColumn("salt", _salt_expr("n", cfg.bucket_cap))
+        .groupBy("detector", "bucket_key", "salt")
+        .agg(F.array_sort(F.collect_set("clip_id")).alias("members"))
+        .withColumn("n", F.size("members"))
+        .filter(F.col("n") >= 2)
+    )
+    groups = ok.unionByName(hot.select(*ok.columns))
 
     small = groups.filter(F.col("n") <= PAIR_EXPAND_MAX)
     pairs_small = F.flatten(
@@ -104,7 +134,7 @@ def _symmetric_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     large = groups.filter(F.col("n") > PAIR_EXPAND_MAX)
     lmembers = large.select(
-        "detector", "bucket_key", F.explode("members").alias("clip_id")
+        "detector", "bucket_key", "salt", F.explode("members").alias("clip_id")
     )
     l, r = lmembers.alias("l"), lmembers.alias("r")
     large_pairs = (
@@ -112,6 +142,7 @@ def _symmetric_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
             r,
             (F.col("l.detector") == F.col("r.detector"))
             & (F.col("l.bucket_key") == F.col("r.bucket_key"))
+            & (F.col("l.salt") == F.col("r.salt"))
             & (F.col("l.clip_id") < F.col("r.clip_id")),
         )
         .select(
@@ -126,19 +157,30 @@ def _symmetric_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 def _asymmetric_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """qry keys × (idx|both) postings within a bucket. The suffix
     detector's postings join IS the distributed suffix-array probe; for
-    simhash it matches probe flips against original band values."""
-    qry = signatures.filter(F.col("role") == ROLE_QRY).select(
-        "detector", "bucket_key", F.col("clip_id").alias("qry_id")
+    simhash it matches probe flips against original band values.
+
+    Hot index buckets (> cap postings) are salted on BOTH sides by
+    pmod(md5(clip_id), S): a qry key meets only its own ~cap-sized
+    sub-bucket, bounding its fan-out (round 1 dropped these buckets
+    outright; the reference deletes every member, deduplicator.rs:
+    120-155 — salting keeps partial in-bucket recall at linear cost)."""
+    sizes = index_bucket_sizes(signatures)
+    qry = (
+        signatures.filter(F.col("role") == ROLE_QRY)
+        .select("detector", "bucket_key", "clip_id")
+        .join(sizes, ["detector", "bucket_key"])
+        .withColumn("salt", _salt_expr("n", cfg.bucket_cap))
+        .select("detector", "bucket_key", "salt", F.col("clip_id").alias("qry_id"))
     )
-    idx = signatures.filter(F.col("role") != ROLE_QRY).select(
-        "detector", "bucket_key", F.col("clip_id").alias("idx_id")
+    idx = (
+        signatures.filter(F.col("role") != ROLE_QRY)
+        .select("detector", "bucket_key", "clip_id")
+        .join(sizes, ["detector", "bucket_key"])
+        .withColumn("salt", _salt_expr("n", cfg.bucket_cap))
+        .select("detector", "bucket_key", "salt", F.col("clip_id").alias("idx_id"))
     )
-    ok_sizes = index_bucket_sizes(signatures).filter(
-        F.col("n") <= cfg.bucket_cap
-    ).select("detector", "bucket_key")
     return (
-        qry.join(ok_sizes, ["detector", "bucket_key"])
-        .join(idx, ["detector", "bucket_key"])
+        qry.join(idx, ["detector", "bucket_key", "salt"])
         .filter(F.col("qry_id") != F.col("idx_id"))
         .select(
             F.least("qry_id", "idx_id").alias("src"),
