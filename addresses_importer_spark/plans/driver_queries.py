@@ -776,6 +776,47 @@ FROM documents GROUP BY 1
 """
 
 
+# irregular hexagon over the synthetic [-10, 10) coordinate box
+GEO_POLYGON = [(-6.0, -2.0), (-2.0, -7.0), (3.0, -5.0),
+               (7.0, 1.0), (2.0, 6.0), (-4.0, 5.0)]
+
+
+def q_geo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 graft: point-in-polygon source filter (the reference keeps
+    only France records, sources.rs:65-72). Coordinates are synthesized
+    deterministically from the event id hash (same double math in both
+    engines); the ray-cast predicate is ONE engine-neutral SQL string,
+    constant-folded and codegen'd — no UDF, no join."""
+    from ..functions.geo import point_in_polygon_sql
+
+    evts = _read(spark, sf_dir, "events")
+    lon = ((md5_long(F.concat(F.lit("lon_"), F.col("event_id").cast("string")))
+            % 2000).cast("double") / 100.0 - 10.0)
+    lat = ((md5_long(F.concat(F.lit("lat_"), F.col("event_id").cast("string")))
+            % 2000).cast("double") / 100.0 - 10.0)
+    pts = evts.select("event_id", lon.alias("lon"), lat.alias("lat"))
+    return pts.filter(F.expr(point_in_polygon_sql("lon", "lat", GEO_POLYGON))).select(
+        "event_id"
+    )
+
+
+def _sql_geo_filter() -> str:
+    from ..functions.geo import point_in_polygon_sql
+
+    lon_h = O.sql_md5_long("'lon_' || event_id::VARCHAR")
+    lat_h = O.sql_md5_long("'lat_' || event_id::VARCHAR")
+    lon = f"(({lon_h} % 2000)::DOUBLE / 1.0e2 - 1.0e1)"
+    lat = f"(({lat_h} % 2000)::DOUBLE / 1.0e2 - 1.0e1)"
+    return f"""
+SELECT event_id FROM (
+    SELECT event_id, {lon} AS lon, {lat} AS lat FROM events
+) WHERE {point_in_polygon_sql('lon', 'lat', GEO_POLYGON)}
+"""
+
+
+SQL_GEO_FILTER = _sql_geo_filter()
+
+
 def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 graft: JSON-lines scan over a nested directory tree
     (recursiveFileLookup + explicit schema — the OpenAddresses
@@ -910,6 +951,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "errors_by_kind": q_errors_by_kind,
+    "geo_filter": q_geo_filter,
     "jsonl_scan": q_jsonl_scan,
     "counts_distinct": q_counts_distinct,
     "union_sources": q_union_sources,
@@ -935,6 +977,7 @@ ORACLES = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     "errors_by_kind": SQL_ERRORS_BY_KIND,
+    "geo_filter": SQL_GEO_FILTER,
     "jsonl_scan": SQL_JSONL_SCAN,
     "counts_distinct": SQL_COUNTS_DISTINCT,
     "union_sources": SQL_UNION_SOURCES,

@@ -49,3 +49,23 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def iceberg_session_conf(warehouse: str,
+                         catalog: str = "local") -> dict[str, str]:
+    """Session confs for an Iceberg hadoop catalog — pass as
+    ``extra_conf`` to get_spark (must be set before JVM start) together
+    with ``spark.jars`` pointing at an iceberg-spark-runtime jar.
+
+    The sandbox container ships no Iceberg runtime jar and has no
+    network, so this path is exercised by tests/test_iceberg.py only
+    when a jar is present (it skips with a reason otherwise); the
+    production spark-submit would add
+    ``--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13``."""
+    return {
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
