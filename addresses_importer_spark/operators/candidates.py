@@ -164,21 +164,30 @@ def _asymmetric_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     sub-bucket, bounding its fan-out (round 1 dropped these buckets
     outright; the reference deletes every member, deduplicator.rs:
     120-155 — salting keeps partial in-bucket recall at linear cost)."""
-    sizes = index_bucket_sizes(signatures)
-    qry = (
-        signatures.filter(F.col("role") == ROLE_QRY)
-        .select("detector", "bucket_key", "clip_id")
-        .join(sizes, ["detector", "bucket_key"])
-        .withColumn("salt", _salt_expr("n", cfg.bucket_cap))
-        .select("detector", "bucket_key", "salt", F.col("clip_id").alias("qry_id"))
+    # joining the FULL postings table against all bucket sizes would
+    # shuffle the biggest table in the job just to compute salts that
+    # are 0 almost everywhere; instead left-join only the oversize
+    # buckets (rare by construction — at most rows/cap of them), which
+    # AQE broadcasts in the common case, leaving the postings unshuffled
+    oversize = index_bucket_sizes(signatures).filter(
+        F.col("n") > cfg.bucket_cap
     )
-    idx = (
-        signatures.filter(F.col("role") != ROLE_QRY)
-        .select("detector", "bucket_key", "clip_id")
-        .join(sizes, ["detector", "bucket_key"])
-        .withColumn("salt", _salt_expr("n", cfg.bucket_cap))
-        .select("detector", "bucket_key", "salt", F.col("clip_id").alias("idx_id"))
-    )
+
+    def _salted(df: DataFrame, id_alias: str) -> DataFrame:
+        return (
+            df.select("detector", "bucket_key", "clip_id")
+            .join(oversize, ["detector", "bucket_key"], "left")
+            .withColumn(
+                "salt",
+                F.when(F.col("n").isNull(), F.lit(0).cast("long"))
+                .otherwise(_salt_expr("n", cfg.bucket_cap)),
+            )
+            .select("detector", "bucket_key", "salt",
+                    F.col("clip_id").alias(id_alias))
+        )
+
+    qry = _salted(signatures.filter(F.col("role") == ROLE_QRY), "qry_id")
+    idx = _salted(signatures.filter(F.col("role") != ROLE_QRY), "idx_id")
     return (
         qry.join(idx, ["detector", "bucket_key", "salt"])
         .filter(F.col("qry_id") != F.col("idx_id"))

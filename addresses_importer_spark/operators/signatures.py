@@ -214,13 +214,22 @@ def suffix_signatures(features: DataFrame, cfg: DedupConfig) -> DataFrame:
     posts = containable.filter(F.size("sx") > 0).select(
         "clip_id", F.explode("sx").alias("h")
     )
+    # the postings plan is referenced three times (df pre-pass, rarest
+    # join, index keys) — unmaterialized, the wide-shingle md5 chain
+    # would be evaluated three times over the whole corpus (measured:
+    # suffix chain was the slowest contract query at 33 s / sf0.1)
+    posts = posts.localCheckpoint(eager=False)
     df_counts = posts.groupBy("h").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("clip_id").orderBy("df", "h")
+    # arg-min via min(struct(df, h)): lexicographic struct ordering ==
+    # the (df, h) sort, but with map-side partial aggregation — a
+    # row_number window here forced a full sort-shuffle of the postings
+    # table (the largest table in the job) where the agg ships one
+    # struct per (partition, clip)
     rarest = (
         posts.join(df_counts, "h")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("clip_id", "h")
+        .groupBy("clip_id")
+        .agg(F.min(F.struct("df", "h")).alias("m"))
+        .select("clip_id", F.col("m.h").alias("h"))
     )
 
     def keyed(df: DataFrame, role: str) -> DataFrame:

@@ -70,6 +70,11 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("transcript"),
     )
     df = base.unionByName(copies)
+    # the sf parquet is 1-2 input splits; without a spread the 64-perm
+    # minhash + per-shingle md5 projection downstream runs on <= 2 of
+    # the session's cores (measured: feats 30 s -> ~4 s at 32 cores).
+    # Shuffling here moves only (id, text) rows once.
+    df = df.repartition(spark.sparkContext.defaultParallelism)
     return df.select(
         "clip_id",
         F.lit(None).cast("binary").alias("bytes"),
@@ -533,11 +538,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     norm = normalize_text(F.col("text"))
     hashes = F.array_distinct(base_hashes(char_shingles(norm, CFG.shingle_width), CFG))
-    return docs.select(
+    # two-step projection: `hashes` feeds three output columns; inlined
+    # into one select, the full per-shingle md5 chain was evaluated
+    # three times per row (35 s at sf0.1 → ~12 s). CollapseProject
+    # keeps the split because the alias is non-cheap and multi-referenced.
+    with_hashes = docs.select("doc_id", "text", hashes.alias("hashes"))
+    return with_hashes.select(
         "doc_id",
         F.md5("text").alias("content_md5"),
-        F.when(F.size(hashes) > 0, F.array_min(hashes)).alias("min_shingle_hash"),
-        F.size(hashes).alias("n_shingles"),
+        F.when(F.size("hashes") > 0, F.array_min("hashes")).alias("min_shingle_hash"),
+        F.size("hashes").alias("n_shingles"),
     )
 
 
