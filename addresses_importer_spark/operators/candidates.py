@@ -33,7 +33,7 @@ nothing disappears silently, and now nothing is dropped either.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Row, functions as F
 
 from ..config import DedupConfig
 from ..functions.hashing import md5_long
@@ -62,35 +62,68 @@ def bucket_groups(signatures: DataFrame) -> DataFrame:
 
 
 def index_bucket_sizes(signatures: DataFrame) -> DataFrame:
-    """Asymmetric-mode index-side bucket sizes (role != qry)."""
+    """Asymmetric-mode index-side bucket sizes (role != qry).
+
+    count(*) not countDistinct: every emitter produces at most one
+    (clip_id, bucket_key) row per role class (minhash bands / simhash
+    band values / distinct suffix shingles are all de-duplicated at the
+    source), and plain count keeps the aggregation single-phase with
+    map-side combine — countDistinct added a full expand+reshuffle of
+    the postings table, the largest in the job."""
     return (
         signatures.filter(F.col("role") != ROLE_QRY)
         .groupBy("detector", "bucket_key")
-        .agg(F.countDistinct("clip_id").alias("n"))
+        .agg(F.count("*").alias("n"))
     )
 
 
-def oversize_bucket_stats(signatures: DataFrame, cfg: DedupConfig) -> list:
+def _oversize_stats(signatures: DataFrame, sym_groups: DataFrame,
+                    oversize_idx: DataFrame, cfg: DedupConfig) -> dict:
     """Per-detector counts of buckets over the cap — the reference's
-    oversize-pack log (deduplicator.rs:141-147) as data.
+    oversize-pack log (deduplicator.rs:141-147) as data, computed from
+    the already-persisted grouped frames (round 1 re-aggregated the full
+    signature table once per tally).
 
     The asymmetric tally is restricted to buckets actually probed by a
     qry-role key; a pure role=both bucket (minhash bands) otherwise
-    appeared once in each tally (double-counted in round 1)."""
-    sym = bucket_groups(signatures).filter(F.col("n") > cfg.bucket_cap)
-    probed = signatures.filter(F.col("role") == ROLE_QRY).select(
-        "detector", "bucket_key"
-    ).distinct()
-    asym = index_bucket_sizes(signatures).filter(
-        F.col("n") > cfg.bucket_cap
-    ).join(probed, ["detector", "bucket_key"], "left_semi")
-    out = (
-        sym.select("detector", "n")
-        .unionByName(asym.select("detector", "n"))
-        .groupBy("detector")
+    appeared once in each tally. The probed-set distinct (a full scan
+    of qry keys) only runs when oversize index buckets exist at all —
+    the common case skips it entirely."""
+    sym = sym_groups.filter(F.col("n") > cfg.bucket_cap).select("detector", "n")
+    parts = [sym]
+    if oversize_idx.limit(1).count() > 0:
+        probed = signatures.filter(F.col("role") == ROLE_QRY).select(
+            "detector", "bucket_key"
+        ).distinct()
+        parts.append(
+            oversize_idx.join(probed, ["detector", "bucket_key"], "left_semi")
+            .select("detector", "n")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    rows = (
+        out.groupBy("detector")
         .agg(F.count("*").alias("buckets"), F.sum("n").alias("rows"))
+        .collect()
     )
-    return out.collect()
+    return {r["detector"]: {"buckets": r["buckets"], "rows": r["rows"]}
+            for r in rows}
+
+
+def oversize_bucket_stats(signatures: DataFrame, cfg: DedupConfig) -> list:
+    """Standalone stats entry point (tests / ad-hoc); the pipeline gets
+    the same numbers from build_candidates(stats_out=...) without extra
+    aggregations."""
+    sym_groups = bucket_groups(signatures)
+    oversize_idx = index_bucket_sizes(signatures).filter(
+        F.col("n") > cfg.bucket_cap
+    )
+    stats = _oversize_stats(signatures, sym_groups, oversize_idx, cfg)
+    return [
+        Row(detector=d, buckets=v["buckets"], rows=v["rows"])
+        for d, v in sorted(stats.items())
+    ]
 
 
 def _salt_expr(n_col: str, cap: int) -> F.Column:
@@ -100,8 +133,7 @@ def _salt_expr(n_col: str, cap: int) -> F.Column:
     return F.pmod(md5_long(F.col("clip_id")), F.greatest(s, F.lit(1)))
 
 
-def _symmetric_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    all_groups = bucket_groups(signatures)
+def _symmetric_pairs(all_groups: DataFrame, cfg: DedupConfig) -> DataFrame:
     ok = all_groups.filter(F.col("n") <= cfg.bucket_cap).withColumn(
         "salt", F.lit(0).cast("long")
     )
@@ -154,7 +186,8 @@ def _symmetric_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     return small_pairs.unionByName(large_pairs)
 
 
-def _asymmetric_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def _asymmetric_pairs(signatures: DataFrame, oversize: DataFrame,
+                      cfg: DedupConfig) -> DataFrame:
     """qry keys × (idx|both) postings within a bucket. The suffix
     detector's postings join IS the distributed suffix-array probe; for
     simhash it matches probe flips against original band values.
@@ -163,15 +196,14 @@ def _asymmetric_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     pmod(md5(clip_id), S): a qry key meets only its own ~cap-sized
     sub-bucket, bounding its fan-out (round 1 dropped these buckets
     outright; the reference deletes every member, deduplicator.rs:
-    120-155 — salting keeps partial in-bucket recall at linear cost)."""
-    # joining the FULL postings table against all bucket sizes would
-    # shuffle the biggest table in the job just to compute salts that
-    # are 0 almost everywhere; instead left-join only the oversize
-    # buckets (rare by construction — at most rows/cap of them), which
-    # AQE broadcasts in the common case, leaving the postings unshuffled
-    oversize = index_bucket_sizes(signatures).filter(
-        F.col("n") > cfg.bucket_cap
-    )
+    120-155 — salting keeps partial in-bucket recall at linear cost).
+
+    `oversize` = index buckets over the cap. Joining the FULL postings
+    table against all bucket sizes would shuffle the biggest table in
+    the job just to compute salts that are 0 almost everywhere; the
+    left-join against only the oversize buckets (rare by construction —
+    at most rows/cap of them) is AQE-broadcast in the common case,
+    leaving the postings unshuffled."""
 
     def _salted(df: DataFrame, id_alias: str) -> DataFrame:
         return (
@@ -199,11 +231,30 @@ def _asymmetric_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def build_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def build_candidates(signatures: DataFrame, cfg: DedupConfig,
+                     stats_out: dict | None = None) -> DataFrame:
     """(src, dst, detector) with src < dst, distinct (A6 distinct-set
-    semantics, deduplicator.rs:216-222)."""
-    return (
-        _symmetric_pairs(signatures, cfg)
-        .unionByName(_asymmetric_pairs(signatures, cfg))
+    semantics, deduplicator.rs:216-222).
+
+    The two grouped frames (symmetric bucket groups, index bucket
+    sizes) are each computed ONCE and persisted — round 1 re-aggregated
+    the full signature table up to four times per run (pair paths +
+    oversize stats), and those aggregations dominated the candidates
+    stage wall (59 s of a 150 s pipeline at 130k clips). Spark evicts
+    the persisted frames LRU after the stage materializes.
+
+    stats_out: pass a dict to receive the per-detector oversize-bucket
+    counters computed from the same persisted frames."""
+    sym_groups = bucket_groups(signatures).persist()
+    idx_sizes = index_bucket_sizes(signatures).persist()
+    oversize_idx = idx_sizes.filter(F.col("n") > cfg.bucket_cap)
+    pairs = (
+        _symmetric_pairs(sym_groups, cfg)
+        .unionByName(_asymmetric_pairs(signatures, oversize_idx, cfg))
         .dropDuplicates(["src", "dst", "detector"])
     )
+    if stats_out is not None:
+        stats_out.update(
+            _oversize_stats(signatures, sym_groups, oversize_idx, cfg)
+        )
+    return pairs

@@ -28,25 +28,59 @@ from ..config import DedupConfig
 from ..functions.hashing import hamming64, jaccard
 from .signatures import DETECTOR_MINHASH, DETECTOR_SIMHASH, DETECTOR_SUFFIX
 
-_FEATURE_COLS = ["clip_id", "norm", "shingle_hashes", "simhash"]
+def _joined(cands: DataFrame, features: DataFrame,
+            cols: list[str]) -> DataFrame:
+    """Candidates joined with ONLY the feature columns the detector's
+    clause reads — verifying simhash pairs used to ship each clip's
+    5 KB shingle array plus the normalized transcript through both join
+    shuffles just to read one int64."""
+    f_src = features.select(*[F.col(c).alias(f"src_{c}") for c in cols])
+    f_dst = features.select(*[F.col(c).alias(f"dst_{c}") for c in cols])
+    return (
+        cands
+        .join(f_src, cands.src == f_src.src_clip_id, "inner")
+        .join(f_dst, cands.dst == f_dst.dst_clip_id, "inner")
+    )
 
 
 def verify_edges(candidates: DataFrame, features: DataFrame,
                  cfg: DedupConfig) -> DataFrame:
     """(src, dst, detector, score) for edges passing their detector's
     check; one row per (src, dst) after detector-level dedup is the
-    caller's choice — components only need distinct (src, dst)."""
-    f_src = features.select(*[F.col(c).alias(f"src_{c}") for c in _FEATURE_COLS])
-    f_dst = features.select(*[F.col(c).alias(f"dst_{c}") for c in _FEATURE_COLS])
+    caller's choice — components only need distinct (src, dst).
 
-    joined = (
-        candidates
-        .join(f_src, candidates.src == f_src.src_clip_id, "inner")
-        .join(f_dst, candidates.dst == f_dst.dst_clip_id, "inner")
+    One slim join pair per detector, unioned — a single Spark job, but
+    each exchange carries only that clause's inputs."""
+    jac = jaccard(F.col("src_shingle_hashes"), F.col("dst_shingle_hashes"))
+    minhash = (
+        _joined(
+            candidates.filter(F.col("detector") == DETECTOR_MINHASH),
+            features, ["clip_id", "shingle_hashes"],
+        )
+        .filter(
+            (F.size("src_shingle_hashes") > 0)
+            & (F.size("dst_shingle_hashes") > 0)
+            & (jac >= cfg.jaccard_threshold)
+        )
+        .select("src", "dst", "detector", jac.alias("score"))
     )
 
-    jac = jaccard(F.col("src_shingle_hashes"), F.col("dst_shingle_hashes"))
     ham = hamming64(F.col("src_simhash"), F.col("dst_simhash"))
+    simhash = (
+        _joined(
+            candidates.filter(F.col("detector") == DETECTOR_SIMHASH),
+            features, ["clip_id", "simhash"],
+        )
+        .filter(
+            F.col("src_simhash").isNotNull()
+            & F.col("dst_simhash").isNotNull()
+            & (ham <= cfg.simhash_max_hamming)
+        )
+        .select(
+            "src", "dst", "detector",
+            (1.0 - ham.cast("double") / cfg.simhash_bits).alias("score"),
+        )
+    )
 
     shorter = F.when(
         F.length("src_norm") <= F.length("dst_norm"), F.col("src_norm")
@@ -58,29 +92,13 @@ def verify_edges(candidates: DataFrame, features: DataFrame,
         (F.length(shorter) >= cfg.min_containment_len)
         & F.contains(longer, shorter)
     )
-
-    minhash_ok = (
-        (F.col("detector") == DETECTOR_MINHASH)
-        & (F.size("src_shingle_hashes") > 0)
-        & (F.size("dst_shingle_hashes") > 0)
-        & (jac >= cfg.jaccard_threshold)
-    )
-    simhash_ok = (
-        (F.col("detector") == DETECTOR_SIMHASH)
-        & F.col("src_simhash").isNotNull()
-        & F.col("dst_simhash").isNotNull()
-        & (ham <= cfg.simhash_max_hamming)
-    )
-    suffix_ok = (F.col("detector") == DETECTOR_SUFFIX) & contained
-
-    score = (
-        F.when(F.col("detector") == DETECTOR_MINHASH, jac)
-        .when(F.col("detector") == DETECTOR_SIMHASH,
-              1.0 - ham.cast("double") / cfg.simhash_bits)
-        .otherwise(F.when(contained, 1.0).otherwise(0.0))
+    suffix = (
+        _joined(
+            candidates.filter(F.col("detector") == DETECTOR_SUFFIX),
+            features, ["clip_id", "norm"],
+        )
+        .filter(contained)
+        .select("src", "dst", "detector", F.lit(1.0).alias("score"))
     )
 
-    return (
-        joined.filter(minhash_ok | simhash_ok | suffix_ok)
-        .select("src", "dst", "detector", score.alias("score"))
-    )
+    return minhash.unionByName(simhash).unionByName(suffix)

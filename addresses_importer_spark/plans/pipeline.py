@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import DedupConfig
-from ..operators.candidates import build_candidates, oversize_bucket_stats
+from ..operators.candidates import build_candidates
 from ..operators.components import connected_components
 from ..operators.signatures import build_features, build_signatures
 from ..operators.survivors import (
@@ -134,13 +134,14 @@ def run_pipeline(
     )
 
     # oversize-bucket counters (reference logs dropped packs,
-    # deduplicator.rs:141-147; we count them into the manifest)
+    # deduplicator.rs:141-147; we count them into the manifest) come
+    # from the same persisted grouped frames the pair paths use — no
+    # extra aggregations over the signature table
     def compute_candidates():
-        over = oversize_bucket_stats(signatures, cfg)
-        metrics["oversize_buckets"] = {
-            r["detector"]: {"buckets": r["buckets"], "rows": r["rows"]} for r in over
-        }
-        return build_candidates(signatures, cfg)
+        stats: dict = {}
+        df = build_candidates(signatures, cfg, stats_out=stats)
+        metrics["oversize_buckets"] = stats
+        return df
 
     candidates = track(
         store.run_stage(
