@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         # Audio payloads are binary; keep task results compact.
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Vectorized-reader batches sized for 30 KB payload rows: the
+        # default 4096 rows/batch allocates ~120 MB of contiguous column
+        # vector PER TASK on the clips table, which OOMs an 8 GB driver
+        # at 8+ concurrent scan tasks (observed at 260k clips). 512 rows
+        # ≈ 15 MB/task; same reasoning as the Arrow batch size above.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
