@@ -93,13 +93,18 @@ def connected_components(edges: DataFrame, max_iters: int = 25,
         return spark.createDataFrame(
             [], "clip_id string, component string"
         )
+    # two star-rounds per checkpoint+fingerprint: each convergence probe
+    # is a driver-blocking action, and on a dup graph (tiny component
+    # diameter — clusters of 2-10 copies) the loop converges in ~2
+    # probes either way; probing every round doubled the driver-side
+    # fixed cost of the stage (jobs dominate wall here, not data)
     prev_fp = None
-    for it in range(max_iters):
+    for it in range(0, max_iters, 2):
         cur = _small_star(_large_star(cur))
-        # localCheckpoint eagerly every round: the convergence fingerprint
-        # needs an action anyway, and this truncates lineage so round k+1
-        # never recomputes rounds 1..k. (checkpoint_every kept for API
-        # compat; a reliable-checkpoint variant would batch rounds.)
+        cur = _small_star(_large_star(cur))
+        # localCheckpoint eagerly at the probe: the fingerprint needs an
+        # action anyway, and this truncates lineage so later rounds
+        # never recompute earlier ones
         cur = cur.localCheckpoint(eager=True)
         fp = _fingerprint(cur)
         if fp == prev_fp:
