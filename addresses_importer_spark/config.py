@@ -105,10 +105,23 @@ class DedupConfig:
             # only single-bit flips are ever emitted by
             # simhash_band_keys_sql; >1 would silently under-probe
             raise ValueError("simhash_probe_bits must be 0 or 1")
-        if 2 * self.simhash_bands - 1 < self.simhash_max_hamming:
+        # blocking guarantee depends on probing: plain banding shares a
+        # key only for Hamming <= bands-1 (pigeonhole on identical
+        # bands); 1-bit probes extend that to 2*bands-1 (some band
+        # differs by <= 1 bit and the flip probe hits the other side's
+        # original). Validating against 2*bands-1 unconditionally let a
+        # probe_bits=0 config pass while blocking silently missed
+        # verified-range pairs at Hamming in [bands, 2*bands-1].
+        guaranteed = (
+            2 * self.simhash_bands - 1
+            if self.simhash_probe_bits == 1
+            else self.simhash_bands - 1
+        )
+        if guaranteed < self.simhash_max_hamming:
             raise ValueError(
-                "multi-probe blocking only guarantees Hamming <= "
-                f"{2 * self.simhash_bands - 1} (2*bands-1) but "
+                "blocking only guarantees Hamming <= "
+                f"{guaranteed} (bands={self.simhash_bands}, "
+                f"probe_bits={self.simhash_probe_bits}) but "
                 f"simhash_max_hamming={self.simhash_max_hamming}: "
                 "verified-range pairs could be missed by blocking"
             )

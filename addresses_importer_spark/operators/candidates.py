@@ -77,8 +77,27 @@ def index_bucket_sizes(signatures: DataFrame) -> DataFrame:
     )
 
 
+def _probe_hot_sides(sym_groups: DataFrame, oversize_idx: DataFrame,
+                     cfg: DedupConfig) -> tuple[bool, bool]:
+    """(any symmetric bucket over the cap?, any index bucket over the
+    cap?) in ONE driver round trip — a union of two limit-1 branches
+    over the persisted grouped frames. The answers gate the salting
+    machinery out of the plan entirely in the common no-skew case."""
+    sides = {
+        r["side"]
+        for r in (
+            sym_groups.filter(F.col("n") > cfg.bucket_cap)
+            .select(F.lit("sym").alias("side")).limit(1)
+            .unionAll(oversize_idx.select(F.lit("idx").alias("side")).limit(1))
+            .collect()
+        )
+    }
+    return "sym" in sides, "idx" in sides
+
+
 def _oversize_stats(signatures: DataFrame, sym_groups: DataFrame,
-                    oversize_idx: DataFrame, cfg: DedupConfig) -> dict:
+                    oversize_idx: DataFrame, cfg: DedupConfig,
+                    any_hot_sym: bool, any_hot_idx: bool) -> dict:
     """Per-detector counts of buckets over the cap — the reference's
     oversize-pack log (deduplicator.rs:141-147) as data, computed from
     the already-persisted grouped frames (round 1 re-aggregated the full
@@ -88,10 +107,16 @@ def _oversize_stats(signatures: DataFrame, sym_groups: DataFrame,
     qry-role key; a pure role=both bucket (minhash bands) otherwise
     appeared once in each tally. The probed-set distinct (a full scan
     of qry keys) only runs when oversize index buckets exist at all —
-    the common case skips it entirely."""
-    sym = sym_groups.filter(F.col("n") > cfg.bucket_cap).select("detector", "n")
-    parts = [sym]
-    if oversize_idx.limit(1).count() > 0:
+    and with no oversize buckets on either side the whole tally is a
+    driver-side {} with zero Spark jobs."""
+    if not any_hot_sym and not any_hot_idx:
+        return {}
+    parts = []
+    if any_hot_sym:
+        parts.append(
+            sym_groups.filter(F.col("n") > cfg.bucket_cap).select("detector", "n")
+        )
+    if any_hot_idx:
         probed = signatures.filter(F.col("role") == ROLE_QRY).select(
             "detector", "bucket_key"
         ).distinct()
@@ -119,7 +144,9 @@ def oversize_bucket_stats(signatures: DataFrame, cfg: DedupConfig) -> list:
     oversize_idx = index_bucket_sizes(signatures).filter(
         F.col("n") > cfg.bucket_cap
     )
-    stats = _oversize_stats(signatures, sym_groups, oversize_idx, cfg)
+    any_hot_sym, any_hot_idx = _probe_hot_sides(sym_groups, oversize_idx, cfg)
+    stats = _oversize_stats(signatures, sym_groups, oversize_idx, cfg,
+                            any_hot_sym, any_hot_idx)
     return [
         Row(detector=d, buckets=v["buckets"], rows=v["rows"])
         for d, v in sorted(stats.items())
@@ -133,21 +160,29 @@ def _salt_expr(n_col: str, cap: int) -> F.Column:
     return F.pmod(md5_long(F.col("clip_id")), F.greatest(s, F.lit(1)))
 
 
-def _symmetric_pairs(all_groups: DataFrame, cfg: DedupConfig) -> DataFrame:
-    ok = all_groups.filter(F.col("n") <= cfg.bucket_cap).withColumn(
-        "salt", F.lit(0).cast("long")
-    )
-    # hot buckets: explode, salt, regroup into ~cap-sized sub-buckets
-    hot = (
-        all_groups.filter(F.col("n") > cfg.bucket_cap)
-        .select("detector", "bucket_key", "n", F.explode("members").alias("clip_id"))
-        .withColumn("salt", _salt_expr("n", cfg.bucket_cap))
-        .groupBy("detector", "bucket_key", "salt")
-        .agg(F.array_sort(F.collect_set("clip_id")).alias("members"))
-        .withColumn("n", F.size("members"))
-        .filter(F.col("n") >= 2)
-    )
-    groups = ok.unionByName(hot.select(*ok.columns))
+def _symmetric_pairs(all_groups: DataFrame, cfg: DedupConfig,
+                     any_hot: bool = True) -> DataFrame:
+    if not any_hot:
+        # probed skew-free: every group is under the cap, so the salted
+        # explode/regroup branch (an extra shuffle of hot members) never
+        # enters the plan at all
+        groups = all_groups.withColumn("salt", F.lit(0).cast("long"))
+    else:
+        ok = all_groups.filter(F.col("n") <= cfg.bucket_cap).withColumn(
+            "salt", F.lit(0).cast("long")
+        )
+        # hot buckets: explode, salt, regroup into ~cap-sized sub-buckets
+        hot = (
+            all_groups.filter(F.col("n") > cfg.bucket_cap)
+            .select("detector", "bucket_key", "n",
+                    F.explode("members").alias("clip_id"))
+            .withColumn("salt", _salt_expr("n", cfg.bucket_cap))
+            .groupBy("detector", "bucket_key", "salt")
+            .agg(F.array_sort(F.collect_set("clip_id")).alias("members"))
+            .withColumn("n", F.size("members"))
+            .filter(F.col("n") >= 2)
+        )
+        groups = ok.unionByName(hot.select(*ok.columns))
 
     small = groups.filter(F.col("n") <= PAIR_EXPAND_MAX)
     pairs_small = F.flatten(
@@ -187,7 +222,7 @@ def _symmetric_pairs(all_groups: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def _asymmetric_pairs(signatures: DataFrame, oversize: DataFrame,
-                      cfg: DedupConfig) -> DataFrame:
+                      cfg: DedupConfig, any_hot: bool = True) -> DataFrame:
     """qry keys × (idx|both) postings within a bucket. The suffix
     detector's postings join IS the distributed suffix-array probe; for
     simhash it matches probe flips against original band values.
@@ -203,25 +238,29 @@ def _asymmetric_pairs(signatures: DataFrame, oversize: DataFrame,
     the job just to compute salts that are 0 almost everywhere; the
     left-join against only the oversize buckets (rare by construction —
     at most rows/cap of them) is AQE-broadcast in the common case,
-    leaving the postings unshuffled."""
+    leaving the postings unshuffled. With `any_hot=False` (probed once
+    per build) even that broadcast join drops out of the plan."""
+    join_keys = ["detector", "bucket_key"]
 
-    def _salted(df: DataFrame, id_alias: str) -> DataFrame:
+    def _side(df: DataFrame, id_alias: str) -> DataFrame:
+        slim = df.select("detector", "bucket_key", "clip_id")
+        if not any_hot:
+            return slim.select(*join_keys, F.col("clip_id").alias(id_alias))
         return (
-            df.select("detector", "bucket_key", "clip_id")
-            .join(oversize, ["detector", "bucket_key"], "left")
+            slim.join(oversize, join_keys, "left")
             .withColumn(
                 "salt",
                 F.when(F.col("n").isNull(), F.lit(0).cast("long"))
                 .otherwise(_salt_expr("n", cfg.bucket_cap)),
             )
-            .select("detector", "bucket_key", "salt",
-                    F.col("clip_id").alias(id_alias))
+            .select(*join_keys, "salt", F.col("clip_id").alias(id_alias))
         )
 
-    qry = _salted(signatures.filter(F.col("role") == ROLE_QRY), "qry_id")
-    idx = _salted(signatures.filter(F.col("role") != ROLE_QRY), "idx_id")
+    qry = _side(signatures.filter(F.col("role") == ROLE_QRY), "qry_id")
+    idx = _side(signatures.filter(F.col("role") != ROLE_QRY), "idx_id")
+    on = join_keys + (["salt"] if any_hot else [])
     return (
-        qry.join(idx, ["detector", "bucket_key", "salt"])
+        qry.join(idx, on)
         .filter(F.col("qry_id") != F.col("idx_id"))
         .select(
             F.least("qry_id", "idx_id").alias("src"),
@@ -232,7 +271,8 @@ def _asymmetric_pairs(signatures: DataFrame, oversize: DataFrame,
 
 
 def build_candidates(signatures: DataFrame, cfg: DedupConfig,
-                     stats_out: dict | None = None) -> DataFrame:
+                     stats_out: dict | None = None,
+                     handles_out: list | None = None) -> DataFrame:
     """(src, dst, detector) with src < dst, distinct (A6 distinct-set
     semantics, deduplicator.rs:216-222).
 
@@ -240,21 +280,35 @@ def build_candidates(signatures: DataFrame, cfg: DedupConfig,
     sizes) are each computed ONCE and persisted — round 1 re-aggregated
     the full signature table up to four times per run (pair paths +
     oversize stats), and those aggregations dominated the candidates
-    stage wall (59 s of a 150 s pipeline at 130k clips). Spark evicts
-    the persisted frames LRU after the stage materializes.
+    stage wall (59 s of a 150 s pipeline at 130k clips).
+
+    One limit-1 probe job then decides per side whether ANY bucket
+    exceeds the cap; in the (by-construction common) skew-free case the
+    salting joins/unions never enter the plan and the oversize tally is
+    a zero-job {}.
 
     stats_out: pass a dict to receive the per-detector oversize-bucket
-    counters computed from the same persisted frames."""
+    counters computed from the same persisted frames.
+    handles_out: pass a list to receive the persisted frames; unpersist
+    them once the pair DataFrame is materialized (callers that don't,
+    rely on LRU eviction — fine for short-lived test sessions, a slow
+    cache leak for long-lived ones)."""
     sym_groups = bucket_groups(signatures).persist()
     idx_sizes = index_bucket_sizes(signatures).persist()
     oversize_idx = idx_sizes.filter(F.col("n") > cfg.bucket_cap)
+    any_hot_sym, any_hot_idx = _probe_hot_sides(sym_groups, oversize_idx, cfg)
     pairs = (
-        _symmetric_pairs(sym_groups, cfg)
-        .unionByName(_asymmetric_pairs(signatures, oversize_idx, cfg))
+        _symmetric_pairs(sym_groups, cfg, any_hot=any_hot_sym)
+        .unionByName(
+            _asymmetric_pairs(signatures, oversize_idx, cfg, any_hot=any_hot_idx)
+        )
         .dropDuplicates(["src", "dst", "detector"])
     )
     if stats_out is not None:
         stats_out.update(
-            _oversize_stats(signatures, sym_groups, oversize_idx, cfg)
+            _oversize_stats(signatures, sym_groups, oversize_idx, cfg,
+                            any_hot_sym, any_hot_idx)
         )
+    if handles_out is not None:
+        handles_out.extend([sym_groups, idx_sizes])
     return pairs

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .materialize import materialize
+
 
 def _canonical(edges: DataFrame) -> DataFrame:
     """(u, v) with u > v (edge directed large → small), self-loops
@@ -87,8 +89,11 @@ def connected_components(edges: DataFrame, max_iters: int = 25,
     spark = edges.sparkSession
     # eager materialization up front: the emptiness probe below is an
     # action, and round 1 would otherwise recompute the caller's entire
-    # upstream chain a second time
-    cur = _canonical(edges).localCheckpoint(eager=True)
+    # upstream chain a second time. materialize() takes the RELIABLE
+    # checkpoint path when the session has a checkpoint dir configured
+    # (cluster mode) — executor loss mid-CC then re-reads replicated
+    # blocks instead of recomputing iteration chains.
+    cur = materialize(_canonical(edges), eager=True)
     if not cur.take(1):
         return spark.createDataFrame(
             [], "clip_id string, component string"
@@ -102,10 +107,10 @@ def connected_components(edges: DataFrame, max_iters: int = 25,
     for it in range(0, max_iters, 2):
         cur = _small_star(_large_star(cur))
         cur = _small_star(_large_star(cur))
-        # localCheckpoint eagerly at the probe: the fingerprint needs an
+        # checkpoint eagerly at the probe: the fingerprint needs an
         # action anyway, and this truncates lineage so later rounds
         # never recompute earlier ones
-        cur = cur.localCheckpoint(eager=True)
+        cur = materialize(cur, eager=True)
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break

@@ -168,7 +168,8 @@ def banded_bucket_structs_sql(col: str,
 def ann_near_dup_pairs_banded(emb: DataFrame,
                               planes_by_band: list[list[list[float]]],
                               threshold: float,
-                              id_col: str = "vec_id") -> DataFrame:
+                              id_col: str = "vec_id",
+                              handles_out: list | None = None) -> DataFrame:
     """Banded sign-LSH near-dup pairs: same (band, bucket) → candidate,
     exact cosine >= threshold → pair. The blocking→verify shape of the
     dedup detectors applied to embeddings; with lsh_sizing this is the
@@ -191,6 +192,10 @@ def ann_near_dup_pairs_banded(emb: DataFrame,
     # (id, band, bucket) ints. MEMORY_AND_DISK: spills, never OOMs.
     bucketed = bucketed.persist()
     bucketed.count()
+    if handles_out is not None:
+        # caller unpersists once the pair frame is materialized —
+        # otherwise the cached bucket blocks live until LRU eviction
+        handles_out.append(bucketed)
     a = bucketed.select(F.col(id_col).alias("src_vec"), "band", "bucket")
     b = bucketed.select(F.col(id_col).alias("dst_vec"), "band", "bucket")
     cands = (

@@ -39,7 +39,7 @@ from ..operators.verify import verify_edges
 from ..sources.checkpoint import CheckpointStore
 
 STAGES = [
-    "errors", "features", "signatures", "candidates",
+    "features", "signatures", "candidates",
     "verified_edges", "components", "losers", "survivors",
 ]
 
@@ -72,14 +72,33 @@ def run_pipeline(
 
     # identity of the source data, pinned into the root stage manifest:
     # re-running against the same checkpoint dir with a different input
-    # must recompute, not serve stale checkpoints. For file-backed frames
-    # this is metadata-only (the scan's file listing); for in-memory
-    # frames (tests) there are no input files and the config hash alone
-    # governs resume, as before.
+    # must recompute, not serve stale checkpoints. Per-file size + mtime
+    # are folded in where the path is locally stat-able, so files
+    # OVERWRITTEN IN PLACE under the same names (pyarrow writers, rsync'd
+    # exports) also invalidate — a path-only hash silently served stale
+    # survivors there. For non-local URIs (hdfs://, s3://) the path list
+    # alone is used: a documented residual gap (object stores version
+    # keys, and Spark's own writers never reuse file names). In-memory
+    # frames (tests) have no input files; config hash alone governs.
     import hashlib as _hashlib
+    import os as _os
+    from urllib.parse import urlsplit as _urlsplit
+
+    def _file_sig(uri: str) -> str:
+        parts = _urlsplit(uri)
+        if parts.scheme in ("", "file") and parts.netloc in ("", "localhost"):
+            try:
+                st = _os.stat(parts.path or uri)
+                return f"{uri}|{st.st_size}|{st.st_mtime_ns}"
+            except OSError:
+                pass
+        return uri
+
     in_files = sorted(clips.inputFiles())
     input_fp = (
-        _hashlib.sha256(";".join(in_files).encode()).hexdigest()[:16]
+        _hashlib.sha256(
+            ";".join(_file_sig(f) for f in in_files).encode()
+        ).hexdigest()[:16]
         + f":{len(in_files)}"
         if in_files else None
     )
@@ -116,13 +135,15 @@ def run_pipeline(
     from ..sources.clips import error_kind_expr
     valid = clips.filter(error_kind_expr().isNull())
 
-    errors_df = track(
-        store.run_stage(
-            spark, "errors", ["features"],
-            lambda: features_all.filter(F.col("error_kind").isNotNull()).select(
-                "clip_id", F.col("error_kind").alias("kind")
-            ),
-        )
+    # errors are a FILTER VIEW over the features checkpoint, not a
+    # stage of their own: the frame is fully derived from already-
+    # durable data, so materializing it bought no resumability — just
+    # one more stage boundary (write + read + manifest + a Spark job)
+    # in the core-count-independent driver term that capped scaling
+    # efficiency (round-2 verdict #1). Callers that want it on disk
+    # write PipelineResult.errors themselves.
+    errors_df = features_all.filter(F.col("error_kind").isNotNull()).select(
+        "clip_id", F.col("error_kind").alias("kind")
     )
 
     signatures = track(
@@ -137,9 +158,13 @@ def run_pipeline(
     # deduplicator.rs:141-147; we count them into the manifest) come
     # from the same persisted grouped frames the pair paths use — no
     # extra aggregations over the signature table
+    cand_handles: list = []
+
     def compute_candidates():
         stats: dict = {}
-        df = build_candidates(signatures, cfg, stats_out=stats)
+        df = build_candidates(
+            signatures, cfg, stats_out=stats, handles_out=cand_handles
+        )
         metrics["oversize_buckets"] = stats
         return df
 
@@ -152,6 +177,10 @@ def run_pipeline(
             counters=lambda: metrics.get("oversize_buckets"),
         )
     )
+    # the stage checkpoint has materialized the pair set — release the
+    # grouped frames' cached blocks instead of leaning on LRU eviction
+    for h in cand_handles:
+        h.unpersist()
 
     verified = track(
         store.run_stage(

@@ -68,13 +68,22 @@ class CheckpointStore:
     of writing parquet fine and then recording rows=0 manifests."""
 
     def __init__(self, root: str, config_hash: str):
-        scheme = root.split("://", 1)[0] if "://" in root else "file"
-        if scheme not in ("file",):
+        # urlsplit, not a '://' scan: Hadoop-style single-slash URIs
+        # ('hdfs:/tmp/ck', 'file:/tmp/ck') carry no '//', so a
+        # substring check resolved them to 'file' and Spark wrote
+        # parquet to the URI while os.walk read a local dir literally
+        # named 'hdfs:' — producing the rows=0 manifests this guard
+        # exists to reject.
+        from urllib.parse import urlsplit
+        parts = urlsplit(root)
+        if parts.scheme not in ("", "file") or (
+            parts.scheme == "file" and parts.netloc not in ("", "localhost")
+        ):
             raise ValueError(
-                f"checkpoint dir {root!r}: scheme {scheme!r} unsupported — "
+                f"checkpoint dir {root!r}: scheme {parts.scheme!r} unsupported — "
                 "manifests use driver-local IO; use a local/NFS/FUSE path"
             )
-        self.root = root[len("file://"):] if root.startswith("file://") else root
+        self.root = parts.path if parts.scheme == "file" else root
         self.config_hash = config_hash
         os.makedirs(self.root, exist_ok=True)
 

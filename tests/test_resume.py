@@ -39,7 +39,7 @@ def test_mid_stage_kill_resumes_tail_only(spark, tmp_path):
         os.remove(os.path.join(ckpt, stage, "MANIFEST.json"))
 
     res = run_pipeline(spark, clips, CFG, ckpt)
-    assert set(res.resumed_stages) == {"errors", "features", "signatures"}
+    assert set(res.resumed_stages) == {"features", "signatures"}
     assert res.survivors.count() == 10
 
 
@@ -67,6 +67,36 @@ def test_input_change_invalidates(spark, tmp_path):
 
     run_pipeline(spark, spark.read.parquet(p1), CFG, ckpt)
     res = run_pipeline(spark, spark.read.parquet(p2), CFG, ckpt)
+    assert "features" not in res.resumed_stages
+
+
+def test_inplace_overwrite_invalidates(spark, tmp_path):
+    """Input files overwritten IN PLACE under identical names (pyarrow
+    writers with fixed filenames, rsync'd exports) must invalidate the
+    features stage: the round-2 fingerprint hashed only sorted paths +
+    count, so a same-name overwrite silently served survivors from the
+    OLD corpus. Size+mtime are now folded in for stat-able paths."""
+    import shutil
+
+    def write_fixed(df, tag):
+        staging = str(tmp_path / f"staging_{tag}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(staging, part),
+                    str(tmp_path / "in" / "data.parquet"))
+
+    (tmp_path / "in").mkdir()
+    pdf, truth = fixture_with_dupes()
+    write_fixed(to_spark(spark, pdf), "v1")
+    ckpt = str(tmp_path / "ck")
+    run_pipeline(spark, spark.read.parquet(str(tmp_path / "in")), CFG, ckpt)
+
+    pdf2 = pdf.copy()
+    pdf2["transcript"] = pdf2["transcript"].map(
+        lambda t: (t or "") + " overwritten"
+    )
+    write_fixed(to_spark(spark, pdf2), "v2")  # same path, same file name
+    res = run_pipeline(spark, spark.read.parquet(str(tmp_path / "in")), CFG, ckpt)
     assert "features" not in res.resumed_stages
 
 
