@@ -77,6 +77,17 @@ class DedupConfig:
     suffix_bottom_k: int = 8        # (unused by the rarest-df scheme; kept
     #   for config-hash stability of older checkpoints)
     min_containment_len: int = 24   # min normalized chars to be containable
+    suffix_prune_postings: bool = True  # drop index postings in buckets no
+    #   rarest-shingle query key ever probes, via a broadcast semi-join of
+    #   the distinct rarest-hash set (<= one int64 per containable clip).
+    #   The candidates equi-join discards those rows anyway — pruning just
+    #   moves the drop MAP-SIDE, before the postings (the job's largest
+    #   table; measured 99.3% prunable at 130k clips) are checkpointed or
+    #   shuffled. Disable for jobs with >~10^7 containable clips, where
+    #   the probed-set broadcast outgrows the shuffle it saves; a
+    #   shuffle-side semi-join would share the pair join's partitioning
+    #   and save nothing, so at that scale the inner join's own drop is
+    #   already optimal.
 
     # --- skew handling (reference: drop packs > 5000,
     #     deduplicator.rs:120-155; we cap + count, never silently) ------

@@ -77,22 +77,34 @@ def index_bucket_sizes(signatures: DataFrame) -> DataFrame:
     )
 
 
+#: hot-bucket key lists up to this many rows are broadcast into the
+#: salt joins (~30 MB hashed at the bound). By construction there are
+#: at most postings/cap oversize buckets, and real skew means FEW hot
+#: keys — above the bound (pathological: >10^9 postings all hot) the
+#: plan falls back to AQE-planned shuffle joins.
+BROADCAST_HOT_BUCKETS_MAX = 1_000_000
+
+
 def _probe_hot_sides(sym_groups: DataFrame, oversize_idx: DataFrame,
-                     cfg: DedupConfig) -> tuple[bool, bool]:
-    """(any symmetric bucket over the cap?, any index bucket over the
-    cap?) in ONE driver round trip — a union of two limit-1 branches
-    over the persisted grouped frames. The answers gate the salting
-    machinery out of the plan entirely in the common no-skew case."""
-    sides = {
-        r["side"]
-        for r in (
-            sym_groups.filter(F.col("n") > cfg.bucket_cap)
-            .select(F.lit("sym").alias("side")).limit(1)
-            .unionAll(oversize_idx.select(F.lit("idx").alias("side")).limit(1))
-            .collect()
+                     cfg: DedupConfig) -> tuple[int, int]:
+    """(# symmetric buckets over the cap, # index buckets over the cap)
+    in ONE driver round trip — a union of two count branches over the
+    persisted grouped frames (which this fully materializes, warming
+    the cache the pair paths read next). The counts gate the salting
+    machinery out of the plan entirely in the common no-skew case, and
+    size the broadcast decision for the hot case."""
+    rows = (
+        sym_groups.filter(F.col("n") > cfg.bucket_cap)
+        .agg(F.count("*").alias("c"))
+        .select(F.lit("sym").alias("side"), "c")
+        .unionAll(
+            oversize_idx.agg(F.count("*").alias("c"))
+            .select(F.lit("idx").alias("side"), "c")
         )
-    }
-    return "sym" in sides, "idx" in sides
+        .collect()
+    )
+    by_side = {r["side"]: int(r["c"]) for r in rows}
+    return by_side.get("sym", 0), by_side.get("idx", 0)
 
 
 def _oversize_stats(signatures: DataFrame, sym_groups: DataFrame,
@@ -144,9 +156,9 @@ def oversize_bucket_stats(signatures: DataFrame, cfg: DedupConfig) -> list:
     oversize_idx = index_bucket_sizes(signatures).filter(
         F.col("n") > cfg.bucket_cap
     )
-    any_hot_sym, any_hot_idx = _probe_hot_sides(sym_groups, oversize_idx, cfg)
+    n_hot_sym, n_hot_idx = _probe_hot_sides(sym_groups, oversize_idx, cfg)
     stats = _oversize_stats(signatures, sym_groups, oversize_idx, cfg,
-                            any_hot_sym, any_hot_idx)
+                            n_hot_sym > 0, n_hot_idx > 0)
     return [
         Row(detector=d, buckets=v["buckets"], rows=v["rows"])
         for d, v in sorted(stats.items())
@@ -296,11 +308,23 @@ def build_candidates(signatures: DataFrame, cfg: DedupConfig,
     sym_groups = bucket_groups(signatures).persist()
     idx_sizes = index_bucket_sizes(signatures).persist()
     oversize_idx = idx_sizes.filter(F.col("n") > cfg.bucket_cap)
-    any_hot_sym, any_hot_idx = _probe_hot_sides(sym_groups, oversize_idx, cfg)
+    n_hot_sym, n_hot_idx = _probe_hot_sides(sym_groups, oversize_idx, cfg)
+    any_hot_sym, any_hot_idx = n_hot_sym > 0, n_hot_idx > 0
+    # explicit broadcast of the (by-construction small) hot-key list:
+    # left AQE-planned, the salt left-joins executed as sort-merge and
+    # hash-repartitioned the FULL postings table twice before the pair
+    # join even started (measured on the 60k hot-bucket bench corpus) —
+    # broadcast keeps the salt computation map-side, so postings cross
+    # exactly one Exchange on their way to the pair join
+    over_join = (
+        F.broadcast(oversize_idx)
+        if 0 < n_hot_idx <= BROADCAST_HOT_BUCKETS_MAX
+        else oversize_idx
+    )
     pairs = (
         _symmetric_pairs(sym_groups, cfg, any_hot=any_hot_sym)
         .unionByName(
-            _asymmetric_pairs(signatures, oversize_idx, cfg, any_hot=any_hot_idx)
+            _asymmetric_pairs(signatures, over_join, cfg, any_hot=any_hot_idx)
         )
         .dropDuplicates(["src", "dst", "detector"])
     )

@@ -152,3 +152,29 @@ def test_bytes_never_leaves_features_stage(spark, tmp_path):
         with open(os.path.join(ckpt, stage, "MANIFEST.json")) as f:
             schema = json.load(f)["schema"]
         assert "bytes" not in schema, f"stage {stage} carries audio payload"
+
+
+def test_salt_join_broadcasts_hot_key_list(spark):
+    """With oversize index buckets present, the salt left-join must
+    carry the hot-key list as a BROADCAST build side: AQE-planned it
+    executed as sort-merge, hash-repartitioning the full postings table
+    twice before the pair join (measured on the 60k hot-bucket bench
+    corpus). No-skew inputs must keep salting out of the plan entirely."""
+    from addresses_importer_spark.operators.candidates import build_candidates
+
+    cfg = DedupConfig(bucket_cap=2)
+    hot = spark.createDataFrame(
+        [("q1", "suffix", -1, 7, "qry")]
+        + [(f"i{k}", "suffix", -1, 7, "idx") for k in range(3)],
+        "clip_id string, detector string, band int, bucket_key long, role string",
+    )
+    plan = plan_of(build_candidates(hot, cfg))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
+
+    cold = spark.createDataFrame(
+        [("a", "suffix", -1, 7, "qry"), ("b", "suffix", -1, 7, "idx")],
+        "clip_id string, detector string, band int, bucket_key long, role string",
+    )
+    cold_plan = plan_of(build_candidates(cold, cfg))
+    assert "LeftOuter" not in cold_plan, cold_plan
+    assert "salt" not in cold_plan, cold_plan
