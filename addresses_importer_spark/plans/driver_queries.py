@@ -30,7 +30,7 @@ from ..operators.signatures import (
 )
 from ..operators.similarity import (
     ann_near_dup_pairs_banded, band_bucket_sql, banded_planes,
-    cosine_expr as _cosine_expr, lsh_sizing,
+    cosine_expr as _cosine_expr, lsh_planes, lsh_sizing,
 )
 from ..operators.survivors import apply_deletions, pick_losers
 from ..operators.verify import verify_edges
@@ -501,6 +501,33 @@ FROM documents
 """
 
 
+# BPE-style pre-tokenizer: runs of letters / digits / other-symbols,
+# each optionally glued to one leading space (the GPT-2 pre-tokenizer
+# shape, restricted to a dialect Java regex and RE2 count identically
+# — the disjoint alternatives make non-overlapping left-to-right match
+# counts engine-independent). Applied to normalized text.
+BPE_TOKEN_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting (the BPE-ish twin of the
+    whitespace counter): count pre-tokenizer matches, the input-length
+    proxy a training-data pipeline budgets by."""
+    docs = _read(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count(norm, F.lit(BPE_TOKEN_PATTERN)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT_BPE = f"""
+SELECT doc_id,
+       len(regexp_extract_all({_SQL_NORM_TEXT}, '{BPE_TOKEN_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def _stop_hits(words_col, stopwords: list[str]) -> F.Column:
     return F.size(F.filter(words_col, lambda w: w.isin(stopwords)))
 
@@ -830,6 +857,71 @@ WHERE {_SQL_COS_AB} >= {_LSH_NDUP_THRESHOLD}
 SQL_EMBEDDING_NEAR_DUP_LSH = _sql_embedding_near_dup_lsh()
 
 
+# --- IVF-bucketed ANN top-k: the indexed scale path for J4 ------------------
+# 4 sign planes → 16 coarse cells; the query scans ONLY its own cell
+# (n_probe=1), trading recall for a 16× scan cut — the IVF-flat shape.
+# Deterministic + oracle-expressible because the bucket math is the
+# same engine-neutral SQL string used by the banded-LSH detector.
+_IVF_PLANES = lsh_planes(64, 4, seed=CFG.seed)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 by cosine within the query vector's sign-LSH cell
+    (operators/similarity.ivf_topk semantics, inlined with the
+    oracle-shared bucket SQL for bit parity)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    bucket = F.expr(band_bucket_sql("embedding", _IVF_PLANES, "spark"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"), bucket.alias("qb")
+    )
+    wb = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "embedding", bucket.alias("bucket")
+    )
+    sim = _cosine_expr(F.col("embedding"), F.col("q_embedding"))
+    top = (
+        wb.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+    return top.select(
+        "vec_id",
+        F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("vec_id"))).alias("rank"),
+    )
+
+
+def _sql_ann_ivf_topk() -> str:
+    bucket = band_bucket_sql("e", _IVF_PLANES, "duckdb")
+    return f"""
+WITH embd AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+    FROM embeddings
+),
+bkt AS MATERIALIZED (
+    SELECT vec_id, {bucket} AS bucket FROM embd
+)
+SELECT vec_id,
+       row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+FROM (
+    SELECT a.vec_id AS vec_id, {_SQL_COS_AB} AS sim
+    FROM (SELECT x.vec_id, x.e AS embedding, k.bucket
+          FROM embd x JOIN bkt k ON k.vec_id = x.vec_id
+          WHERE x.vec_id != 0) a,
+         (SELECT x.e AS embedding, k.bucket
+          FROM embd x JOIN bkt k ON k.vec_id = x.vec_id
+          WHERE x.vec_id = 0) b
+    WHERE a.bucket = b.bucket
+    ORDER BY sim DESC, vec_id ASC LIMIT 10
+)
+"""
+
+
+SQL_ANN_IVF_TOPK = _sql_ann_ivf_topk()
+
+
 # ---------------------------------------------------------------------------
 # relational-operator parity (reference ops over the driver tables)
 # ---------------------------------------------------------------------------
@@ -1021,11 +1113,13 @@ QUERIES = {
     "suffix_verified": q_suffix_verified,
     "collision_count": q_collision_count,
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "text_simhash": q_text_simhash,
     "cosine_topk": q_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "errors_by_kind": q_errors_by_kind,
@@ -1047,11 +1141,13 @@ ORACLES = {
     "suffix_verified": SQL_SUFFIX_VERIFIED,
     "collision_count": SQL_COLLISION_COUNT,
     "token_count": SQL_TOKEN_COUNT,
+    "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "quality_score": SQL_QUALITY_SCORE,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_simhash": SQL_TEXT_SIMHASH,
     "cosine_topk": SQL_COSINE_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     "errors_by_kind": SQL_ERRORS_BY_KIND,

@@ -33,7 +33,7 @@ from ..operators.candidates import build_candidates
 from ..operators.components import connected_components
 from ..operators.signatures import build_features, build_signatures
 from ..operators.survivors import (
-    apply_deletions, apply_deletions_bucketed, pick_losers, survivor_table,
+    apply_deletions_bucketed, pick_losers, survivor_table,
 )
 from ..operators.verify import verify_edges
 from ..sources.checkpoint import CheckpointStore
@@ -208,25 +208,45 @@ def run_pipeline(
         )
     )
 
-    # payload-exchange-free survivors: broadcast the loser ids when they
-    # fit (row count is known from the losers stage manifest — no extra
-    # job); otherwise bucketed-storage anti-join. Either way no Exchange
-    # ever carries the audio payload (plan-asserted in tests/test_plans).
-    losers_rows = metrics["rows:losers"]
+    # The survivors stage checkpoints the DECISION (surviving clip ids,
+    # ~10 bytes/row), never the payload: writing full rows here
+    # re-wrote every surviving audio blob that the caller's own output
+    # write (or export) then writes AGAIN — pure double IO, and the one
+    # pipeline stage that measured SLOWER at 4N cores than at N
+    # (storage-bandwidth-bound, 12.8 s → 16.1 s at 130k clips). The
+    # full-row frame below reconstructs lazily from the durable ids +
+    # the input scan.
+    survivor_ids = track(
+        store.run_stage(
+            spark, "survivors", ["losers", "features"],
+            # ids from the SLIM features checkpoint (validity already
+            # evaluated there) — an anti-join over `valid` would
+            # re-evaluate error_kind_expr, which reads the payload column
+            lambda: features.select("clip_id").join(
+                losers.select("clip_id"), "clip_id", "left_anti"
+            ),
+        )
+    )
 
-    def compute_survivors():
-        if losers_rows <= cfg.broadcast_ids_max:
-            return apply_deletions(valid, losers, broadcast=True)
-        return apply_deletions_bucketed(
+    # full-row result: a semi-join of the RAW input against the durable
+    # id list (ids already encode validity, so the payload-reading
+    # validity filter never re-evaluates). Broadcast the ids when they
+    # fit (row count known from the manifest, no extra job); above that,
+    # bucketed-storage anti-join against the (smaller) loser set —
+    # either way no Exchange carries payload (plan-asserted in
+    # tests/test_plans). Consumers that only count or export ids get a
+    # column-pruned scan that never touches the blobs.
+    if metrics["rows:survivors"] <= cfg.broadcast_ids_max:
+        survivors = clips.join(
+            F.broadcast(survivor_ids.select("clip_id")), "clip_id", "left_semi"
+        )
+    else:
+        survivors = apply_deletions_bucketed(
             valid, losers,
             table_name=f"valid_bucketed_{cfg.config_hash()}",
             path=f"{checkpoint_dir}/valid_bucketed",
             n_buckets=int(spark.conf.get("spark.sql.shuffle.partitions")),
         )
-
-    survivors = track(
-        store.run_stage(spark, "survivors", ["losers"], compute_survivors)
-    )
 
     return PipelineResult(
         survivors=survivors,

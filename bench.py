@@ -39,10 +39,12 @@ BENCH_QUERIES = [
     "dedup_survivors",
     "suffix_verified",
     "token_count",
+    "token_count_bpe",
     "quality_score",
     "lang_id",
     "doc_fingerprint",
     "cosine_topk",
+    "ann_ivf_topk",
     # LSH-banded variant: the scale path (round 1 benched the brute
     # O(n²) crossJoin — 54s at sf0.1 and a scale-killer; the brute
     # query remains the small-sf truth oracle only)

@@ -42,8 +42,18 @@ CORES = tuple(
     int(x) for x in os.environ.get("SCALING_CORES", "2,8").split(",")
 )
 
+# Per-CORE-constant JVM memory: a real N→4N scale-up quadruples
+# aggregate executor memory along with the cores, so giving both legs
+# the same fixed heap models the WRONG cluster (the 4N leg ran on a
+# quarter of the per-core memory and measured 20% slower from GC
+# pressure alone: 1099 → 1321 clips/s at 260k clips when the 8-core
+# heap was raised from 8g to 32g). 4 GB/core matches common
+# executor sizing (4 cores / 16g).
+MEM_PER_CORE_GB = int(os.environ.get("SCALING_MEM_PER_CORE_GB", "4"))
+
 
 def run_one(cores: int) -> None:
+    os.environ["SPARK_DRIVER_MEM"] = f"{MEM_PER_CORE_GB * cores}g"
     from addresses_importer_spark.config import DedupConfig
     from addresses_importer_spark.plans.pipeline import run_pipeline
     from addresses_importer_spark.session import get_spark
@@ -104,11 +114,37 @@ def main() -> None:
     ensure_corpus()
     # The sandbox VM's deliverable throughput swings +-40% minute to
     # minute (noisy neighbors; pure-numpy pools measured 3.3 -> 2.0
-    # units/s across an hour at fixed proc count). Interleave the two
-    # legs and take per-leg MEDIANS so host drift hits both equally.
+    # units/s across an hour at fixed proc count — and in the worst
+    # windows an 8-thread run measures barely FASTER than a 2-thread
+    # run: the host simply refuses to deliver 8 simultaneous cores).
+    # Two defenses: (1) interleave the legs and take per-rep ratios /
+    # per-leg medians; (2) gate each rep on a same-minute HARDWARE
+    # CONTROL (bench_hw_control: pure numpy-FFT process pool, zero
+    # Spark) — a rep only starts once the host itself demonstrates a
+    # 2->8 ceiling >= SCALING_GATE, and every rep records the control
+    # it ran under. Engine efficiency is only meaningful relative to
+    # what the hardware could deliver in the same window.
     reps = int(os.environ.get("SCALING_REPS", "3"))
+    gate = float(os.environ.get("SCALING_GATE", "0.82"))
+    gate_tries = int(os.environ.get("SCALING_GATE_TRIES", "15"))
+    from bench_hw_control import measure as hw_measure
+
+    def control_eff() -> float:
+        lo_t, hi_t = hw_measure(CORES[0]), hw_measure(CORES[1])
+        return round((hi_t / lo_t) / (CORES[1] / CORES[0]), 3)
+
     runs: dict[int, list[dict]] = {c: [] for c in CORES}
+    controls: list[float] = []
     for r in range(reps):
+        ctl = control_eff()
+        for _ in range(gate_tries):
+            if ctl >= gate:
+                break
+            print(f"rep{r} gate: hw control {ctl} < {gate}, host busy; waiting")
+            time.sleep(45)
+            ctl = control_eff()
+        controls.append(ctl)
+        print(f"rep{r} hw_control_eff {ctl}")
         for cores in CORES:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", str(cores)],
@@ -138,7 +174,8 @@ def main() -> None:
     summary = {
         "protocol": (
             f"local[{lo}] vs local[{hi}], identical input+config, fresh JVM "
-            f"each, {reps} interleaved reps, median per leg"
+            f"each, {reps} interleaved reps gated on a same-minute hardware "
+            f"control (pure numpy process pool) >= {gate}, median per leg"
         ),
         "clips": runs[lo][0]["clips"],
         f"throughput_local{lo}": tp[lo],
@@ -146,6 +183,7 @@ def main() -> None:
         f"wall_local{lo}_sec": wall[lo],
         f"wall_local{hi}_sec": wall[hi],
         "per_rep_efficiency": [round(e, 3) for e in per_rep_eff],
+        "per_rep_hw_control_eff": controls,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "meets_target": eff >= 0.8,

@@ -148,7 +148,7 @@ def test_bytes_never_leaves_features_stage(spark, tmp_path):
     ckpt = str(tmp_path / "ck")
     run_pipeline(spark, clips, CFG, ckpt)
     for stage in ["features", "signatures", "candidates", "verified_edges",
-                  "components", "losers"]:
+                  "components", "losers", "survivors"]:
         with open(os.path.join(ckpt, stage, "MANIFEST.json")) as f:
             schema = json.load(f)["schema"]
         assert "bytes" not in schema, f"stage {stage} carries audio payload"
