@@ -118,24 +118,33 @@ def main() -> None:
     # windows an 8-thread run measures barely FASTER than a 2-thread
     # run: the host simply refuses to deliver 8 simultaneous cores).
     # Two defenses: (1) interleave the legs and take per-rep ratios /
-    # per-leg medians; (2) gate each rep on a same-minute HARDWARE
+    # per-leg medians; (2) gate each rep's WHOLE WINDOW on a HARDWARE
     # CONTROL (bench_hw_control: pure numpy-FFT process pool, zero
-    # Spark) — a rep only starts once the host itself demonstrates a
-    # 2->8 ceiling >= SCALING_GATE, and every rep records the control
-    # it ran under. Engine efficiency is only meaningful relative to
-    # what the hardware could deliver in the same window.
+    # Spark) — a rep only starts once the host demonstrates a 2->8
+    # ceiling >= SCALING_GATE, and the control is re-measured AFTER the
+    # legs: a rep is valid only if both ends pass. The pre-only gate
+    # measured reps whose 8-core leg the host throttled MID-rep
+    # (controls 0.983/1.048 before, legs 2x slower than clean-window
+    # reps — the noise arrived after the gate). A failed window
+    # measures the host, not the engine; invalid reps are recorded,
+    # never counted. Engine efficiency is only meaningful relative to
+    # what the hardware delivered across the same window.
     reps = int(os.environ.get("SCALING_REPS", "3"))
-    gate = float(os.environ.get("SCALING_GATE", "0.82"))
+    gate = float(os.environ.get("SCALING_GATE", "0.85"))
     gate_tries = int(os.environ.get("SCALING_GATE_TRIES", "15"))
+    max_attempts = int(os.environ.get("SCALING_MAX_ATTEMPTS", str(reps * 3)))
     from bench_hw_control import measure as hw_measure
 
     def control_eff() -> float:
         lo_t, hi_t = hw_measure(CORES[0]), hw_measure(CORES[1])
         return round((hi_t / lo_t) / (CORES[1] / CORES[0]), 3)
 
-    runs: dict[int, list[dict]] = {c: [] for c in CORES}
-    controls: list[float] = []
-    for r in range(reps):
+    lo, hi = CORES
+    all_reps: list[dict] = []
+    attempt = 0
+    while sum(r["valid"] for r in all_reps) < reps and attempt < max_attempts:
+        r = attempt
+        attempt += 1
         ctl = control_eff()
         for _ in range(gate_tries):
             if ctl >= gate:
@@ -143,54 +152,73 @@ def main() -> None:
             print(f"rep{r} gate: hw control {ctl} < {gate}, host busy; waiting")
             time.sleep(45)
             ctl = control_eff()
-        controls.append(ctl)
-        print(f"rep{r} hw_control_eff {ctl}")
+        print(f"rep{r} hw_control_eff_before {ctl}")
+        legs: dict[int, dict] = {}
         for cores in CORES:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", str(cores)],
                 capture_output=True, text=True, timeout=3600,
             )
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-            rec = json.loads(line)
-            runs[cores].append(rec)
+            legs[cores] = json.loads(line)
             print(f"rep{r} {line}")
+        ctl_after = control_eff()
+        eff_r = (legs[hi]["clips_per_sec"] / legs[lo]["clips_per_sec"]) / (hi / lo)
+        rep = {
+            "legs": legs,
+            "hw_control_before": ctl,
+            "hw_control_after": ctl_after,
+            "efficiency": round(eff_r, 3),
+            "valid": ctl >= gate and ctl_after >= gate,
+        }
+        all_reps.append(rep)
+        print(f"rep{r} hw_control_eff_after {ctl_after} "
+              f"eff {rep['efficiency']} valid {rep['valid']}")
 
     def median(vals):
         s = sorted(vals)
         return s[len(s) // 2]
 
-    lo, hi = CORES
-    tp = {c: median([r["clips_per_sec"] for r in runs[c]]) for c in CORES}
-    wall = {c: median([r["wall_sec"] for r in runs[c]]) for c in CORES}
+    valid_reps = [r for r in all_reps if r["valid"]]
+    counted = valid_reps or all_reps  # never divide by zero; honesty flag below
+    tp = {c: median([r["legs"][c]["clips_per_sec"] for r in counted]) for c in CORES}
+    wall = {c: median([r["legs"][c]["wall_sec"] for r in counted]) for c in CORES}
     # efficiency per rep, then median: the two legs of one rep run
     # back-to-back, so host drift (which moves slower than a rep) hits
     # both legs of a rep roughly equally, unlike a ratio of
     # cross-rep medians
-    per_rep_eff = [
-        (runs[hi][r]["clips_per_sec"] / runs[lo][r]["clips_per_sec"]) / (hi / lo)
-        for r in range(reps)
-    ]
-    eff = median(per_rep_eff)
+    eff = median([r["efficiency"] for r in counted])
     summary = {
         "protocol": (
             f"local[{lo}] vs local[{hi}], identical input+config, fresh JVM "
-            f"each, {reps} interleaved reps gated on a same-minute hardware "
-            f"control (pure numpy process pool) >= {gate}, median per leg"
+            f"each, interleaved reps; each rep's window gated on a hardware "
+            f"control (pure numpy process pool, zero Spark) >= {gate} both "
+            f"BEFORE and AFTER its legs; median over the {len(valid_reps)} "
+            f"valid of {len(all_reps)} attempted reps (invalid reps recorded "
+            f"below, never counted)"
         ),
-        "clips": runs[lo][0]["clips"],
+        "clips": counted[0]["legs"][lo]["clips"],
         f"throughput_local{lo}": tp[lo],
         f"throughput_local{hi}": tp[hi],
         f"wall_local{lo}_sec": wall[lo],
         f"wall_local{hi}_sec": wall[hi],
-        "per_rep_efficiency": [round(e, 3) for e in per_rep_eff],
-        "per_rep_hw_control_eff": controls,
+        "per_rep_efficiency": [r["efficiency"] for r in counted],
+        "per_rep_hw_control": [
+            [r["hw_control_before"], r["hw_control_after"]] for r in counted
+        ],
+        "invalid_reps": [
+            {"efficiency": r["efficiency"],
+             "hw_control": [r["hw_control_before"], r["hw_control_after"]]}
+            for r in all_reps if not r["valid"]
+        ],
+        "valid_rep_count": len(valid_reps),
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
-        "meets_target": eff >= 0.8,
+        "meets_target": bool(valid_reps) and eff >= 0.8,
     }
     print(json.dumps(summary))
     with open("SCALING.json", "w") as f:
-        json.dump({"runs": runs, "summary": summary}, f, indent=2)
+        json.dump({"reps": all_reps, "summary": summary}, f, indent=2)
 
 
 if __name__ == "__main__":
