@@ -80,24 +80,73 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(spark, edges_pdf) -> DataFrame:
+    """Union-find over a collected edge list — same (clip_id,
+    component=lexicographic-min member) labeling as the distributed
+    loop, computed in one driver pass instead of O(log n) rounds of
+    2-shuffle jobs. Only reached below a hard edge-count bound."""
+    import pandas as pd
+
+    codes, uniques = pd.factorize(
+        pd.concat([edges_pdf["u"], edges_pdf["v"]], ignore_index=True)
+    )
+    n = len(uniques)
+    half = len(edges_pdf)
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for i in range(half):
+        ru, rv = find(codes[i]), find(codes[i + half])
+        if ru != rv:
+            parent[ru] = rv
+    roots = [find(i) for i in range(n)]
+    nodes = pd.DataFrame({"clip_id": uniques, "root": roots})
+    # component label = lexicographically smallest member id, matching
+    # F.least()'s string ordering in the star rounds
+    nodes["component"] = nodes.groupby("root")["clip_id"].transform("min")
+    return spark.createDataFrame(nodes[["clip_id", "component"]])
+
+
 def connected_components(edges: DataFrame, max_iters: int = 25,
-                         checkpoint_every: int = 4) -> DataFrame:
+                         checkpoint_every: int = 4,
+                         driver_max_edges: int = 1_000_000) -> DataFrame:
     """verified edges (src, dst) → (clip_id, component).
 
     Only clips appearing in at least one edge get a row; isolated clips
-    are implicit singletons (callers: survivors.py)."""
+    are implicit singletons (callers: survivors.py).
+
+    Adaptive execution: the distinct canonical edge set is counted
+    once (the count doubles as the emptiness probe), and when it is at
+    most ``driver_max_edges`` the components are solved by a single
+    driver-side union-find over the collected edges — a dup graph's
+    edge table is dup-pair-sized, so at bench scale the distributed
+    loop spent ~5 s of core-count-independent driver job roundtrips
+    (2 star rounds x checkpoint x fingerprint) on a graph union-find
+    resolves in milliseconds. Above the bound (1M edges ~ 70 MB of
+    id pairs; a 10^12-clip corpus can exceed it by orders of
+    magnitude) the O(log n) large-star/small-star loop runs unchanged
+    — the labeling is identical either way (min-member component ids),
+    asserted by the chain/star/forest goldens run through both paths."""
     spark = edges.sparkSession
-    # eager materialization up front: the emptiness probe below is an
+    # eager materialization up front: the count probe below is an
     # action, and round 1 would otherwise recompute the caller's entire
     # upstream chain a second time. materialize() takes the RELIABLE
     # checkpoint path when the session has a checkpoint dir configured
     # (cluster mode) — executor loss mid-CC then re-reads replicated
     # blocks instead of recomputing iteration chains.
     cur = materialize(_canonical(edges), eager=True)
-    if not cur.take(1):
+    n_edges = cur.count()
+    if n_edges == 0:
         return spark.createDataFrame(
             [], "clip_id string, component string"
         )
+    if n_edges <= driver_max_edges:
+        return _driver_union_find(spark, cur.toPandas())
     # two star-rounds per checkpoint+fingerprint: each convergence probe
     # is a driver-blocking action, and on a dup graph (tiny component
     # diameter — clusters of 2-10 copies) the loop converges in ~2

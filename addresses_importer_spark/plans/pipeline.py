@@ -110,6 +110,8 @@ def run_pipeline(
         now = _time.time()
         metrics[f"sec:{res.stage}"] = round(now - _t_last[0], 2)
         _t_last[0] = now
+        for phase, sec in (res.timings or {}).items():
+            metrics[f"sec:{res.stage}:{phase}"] = sec
         return res.df
 
     # ONE pass over the payload bytes: features + the ingest validity

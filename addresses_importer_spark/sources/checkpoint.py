@@ -58,6 +58,11 @@ class StageResult:
     df: DataFrame
     rows: int
     resumed: bool
+    # sub-phase walls (seconds): "build" = compute() (plan construction
+    # plus any eager actions inside it), "write" = the parquet job,
+    # "footer" = driver-side manifest footer scan. Diagnostic only —
+    # surfaced into PipelineResult.metrics to locate serial driver time.
+    timings: dict | None = None
 
 
 class CheckpointStore:
@@ -141,15 +146,21 @@ class CheckpointStore:
         resolved AFTER the write (i.e. after `compute` side effects
         populated them — a plain dict evaluated at call-build time
         recorded {} forever)."""
+        import time as _time
+
         path = self._data_path(stage)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        _t0 = _time.time()
         writer.parquet(path)
+        _t_write = _time.time() - _t0
         # explicit schema: a 0-row stage writes no parquet files and
         # schema inference would fail (empty-corpus / fully-filtered runs)
         out = df.sparkSession.read.schema(df.schema).parquet(path)
+        _t0 = _time.time()
         rows, num_files, digest = _footer_stats(path)
+        _t_footer = _time.time() - _t0
         manifest = {
             "stage": stage,
             "config_hash": self.config_hash,
@@ -165,7 +176,10 @@ class CheckpointStore:
         }
         with open(self._manifest_path(stage), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
-        return StageResult(stage, out, rows, resumed=False)
+        return StageResult(
+            stage, out, rows, resumed=False,
+            timings={"write": round(_t_write, 2), "footer": round(_t_footer, 2)},
+        )
 
     def run_stage(self, spark: SparkSession, stage: str, upstream: list[str],
                   compute, counters=None,
@@ -177,5 +191,12 @@ class CheckpointStore:
             df = self.read(spark, stage)
             m = self.manifest(stage)
             return StageResult(stage, df, int(m["rows"]), resumed=True)
-        return self.write(stage, compute(), upstream, counters, partition_by,
-                          input_fingerprint)
+        import time as _time
+        _t0 = _time.time()
+        df = compute()
+        _t_build = _time.time() - _t0
+        res = self.write(stage, df, upstream, counters, partition_by,
+                         input_fingerprint)
+        if res.timings is not None:
+            res.timings["build"] = round(_t_build, 2)
+        return res

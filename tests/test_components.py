@@ -5,9 +5,9 @@ within-pack greedy closure (deduplicator.rs:166-180)."""
 from addresses_importer_spark.operators.components import connected_components
 
 
-def _cc(spark, pairs):
+def _cc(spark, pairs, **kw):
     edges = spark.createDataFrame(pairs, "src string, dst string")
-    rows = connected_components(edges).collect()
+    rows = connected_components(edges, **kw).collect()
     comp = {}
     for r in rows:
         comp[r["clip_id"]] = r["component"]
@@ -47,3 +47,22 @@ def test_long_chain_converges(spark):
 def test_duplicate_and_reversed_edges(spark):
     comp = _cc(spark, [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c")])
     assert comp == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """Same labeling from the driver union-find (default at this size)
+    and the distributed star loop (forced via driver_max_edges=0)."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"),        # chain
+             ("z", "m"), ("z", "n"), ("z", "o"),        # star
+             ("p", "q"), ("q", "p"),                    # dup/reversed
+             ("s", "t")]                                # pair
+    via_driver = _cc(spark, pairs)
+    via_loop = _cc(spark, pairs, driver_max_edges=0)
+    assert via_driver == via_loop
+    assert via_driver["d"] == "a" and via_driver["z"] == "m"
+
+
+def test_distributed_path_chain(spark):
+    comp = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")],
+               driver_max_edges=0)
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a"}
