@@ -9,6 +9,19 @@ rank-based survivor selection, checkpoint/resume, skew caps.
 """
 
 from .config import DEFAULT_CONFIG, DedupConfig
+from .plans.pipeline import PipelineResult, run_pipeline
+from .session import get_spark
+from .sources.clips import export_survivors_csv, read_clips
 
-__all__ = ["DEFAULT_CONFIG", "DedupConfig"]
+#: The frozen public surface (README "Run the pipeline on your own
+#: parquet"): everything a user needs without reaching into submodules.
+__all__ = [
+    "DEFAULT_CONFIG",
+    "DedupConfig",
+    "PipelineResult",
+    "export_survivors_csv",
+    "get_spark",
+    "read_clips",
+    "run_pipeline",
+]
 __version__ = "0.1.0"

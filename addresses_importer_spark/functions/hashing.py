@@ -31,6 +31,46 @@ def base_hashes(shingles_col: Column, cfg: DedupConfig) -> Column:
     return F.transform(shingles_col, lambda s: md5_long(s) % mod)
 
 
+#: polynomial rolling-hash parameters (poly_hashes / sql twin). Base 131
+#: over the Mersenne prime 2^31-1: acc*131 + code <= (2^31)*131 + 1114111
+#: < 2^39, no overflow under ANSI arithmetic in either engine.
+POLY_BASE = 131
+POLY_MOD = 2_147_483_647
+
+
+def poly_codes_sql(norm_expr: str) -> str:
+    """Spark SQL: per-char code-point array of a normalized string.
+    Callers MUST project this into its own column before feeding it to
+    poly_hashes_from_codes_sql — inlined inside that lambda, Catalyst
+    would re-split the string once per shingle position (O(len^2))."""
+    return f"transform(split({norm_expr}, ''), c -> ascii(c))"
+
+
+def poly_hashes_from_codes_sql(codes_col: str, width: int) -> str:
+    """Spark SQL: distinct polynomial rolling hashes of every
+    ``width``-code window of a projected char-code array column — the
+    cheap base-hash family (VERDICT r3 task #3).
+
+    md5-per-shingle materializes a hex string and parses it back per
+    shingle (O(len) md5 blocks + allocs per row); this computes the
+    same shingle->int64 contract as pure integer folds (O(len*width)
+    multiply-mods inside whole-stage codegen, zero string allocation).
+    Distinctness is applied to the HASH values (not shingle strings) so
+    the DuckDB twin (oracle_fragments.sql_poly_hashes_from_codes) is
+    value-identical by construction. Input must derive from
+    normalize_text output ([a-z0-9 ] only, so ascii()/ord() char codes
+    agree across engines).
+    """
+    fold = (f"aggregate(slice({codes_col}, i, {width}), cast(0 as bigint), "
+            f"(acc, c) -> (acc * {POLY_BASE} + c) % {POLY_MOD})")
+    return (
+        f"CASE WHEN size({codes_col}) >= {width} THEN "
+        f"array_distinct(transform("
+        f"sequence(1, size({codes_col}) - {width} + 1), i -> {fold})) "
+        f"ELSE array() END"
+    )
+
+
 def spark_sql_md5_long(expr: str) -> str:
     """Spark-SQL-dialect twin of md5_long (for F.expr plan building)."""
     return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"

@@ -66,6 +66,39 @@ def sql_band_keys(sig_expr: str, cfg: DedupConfig, detector: str = "minhash") ->
     return "[" + ", ".join(entries) + "]"
 
 
+def sql_poly_codes(norm_expr: str) -> str:
+    """DuckDB twin of hashing.poly_codes_sql: per-char code points.
+    range(a, b) is end-exclusive; string[i] is 1-based char access."""
+    return (
+        f"list_transform(range(1, length({norm_expr}) + 1), "
+        f"i -> ascii({norm_expr}[i]))"
+    )
+
+
+def sql_poly_hashes_from_codes(codes_col: str, width: int,
+                               base: int, mod: int) -> str:
+    """DuckDB twin of hashing.poly_hashes_from_codes_sql. DuckDB's
+    list_reduce has no initial-accumulator argument (it seeds from the
+    first element), so a 0 is prepended — identical to Spark's
+    aggregate(..., 0, ...) fold. List slices are 1-based inclusive.
+
+    NOTE: DuckDB's list_distinct does NOT preserve element order while
+    Spark's array_distinct does — the two sides agree as SETS. Only
+    order-insensitive consumers (min/size/explode+agg) may use this
+    fragment; never hash or compare the raw array positionally."""
+    fold = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"{codes_col}[i : i + {width - 1}]), "
+        f"(acc, c) -> (acc * {base} + c) % {mod})"
+    )
+    return (
+        f"CASE WHEN len({codes_col}) >= {width} THEN "
+        f"list_distinct(list_transform("
+        f"range(1, len({codes_col}) - {width} + 2), i -> {fold})) "
+        f"ELSE [] END"
+    )
+
+
 def sql_jaccard(a: str, b: str) -> str:
     inter = f"len(list_intersect({a}, {b}))"
     return (

@@ -109,7 +109,12 @@ def _driver_union_find(spark, edges_pdf) -> DataFrame:
     # component label = lexicographically smallest member id, matching
     # F.least()'s string ordering in the star rounds
     nodes["component"] = nodes.groupby("root")["clip_id"].transform("min")
-    return spark.createDataFrame(nodes[["clip_id", "component"]])
+    # explicit schema: inference over a pandas frame is fragile under
+    # Arrow-backed extension dtypes, and the empty-edges path already
+    # pins this exact schema — both paths must agree (ADVICE r3)
+    return spark.createDataFrame(
+        nodes[["clip_id", "component"]], "clip_id string, component string"
+    )
 
 
 def connected_components(edges: DataFrame, max_iters: int = 25,

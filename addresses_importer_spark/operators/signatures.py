@@ -29,6 +29,7 @@ from ..functions.hashing import (
     band_keys, base_hashes, md5_long, minhash_signature, spark_sql_md5_long,
 )
 from ..functions.text import char_shingles, normalize_text
+from .materialize import materialize
 
 DETECTOR_MINHASH = "minhash"
 DETECTOR_SIMHASH = "simhash"
@@ -217,8 +218,12 @@ def suffix_signatures(features: DataFrame, cfg: DedupConfig) -> DataFrame:
     # the postings plan is referenced three times (df pre-pass, rarest
     # join, index keys) — unmaterialized, the wide-shingle md5 chain
     # would be evaluated three times over the whole corpus (measured:
-    # suffix chain was the slowest contract query at 33 s / sf0.1)
-    posts = posts.localCheckpoint(eager=False)
+    # suffix chain was the slowest contract query at 33 s / sf0.1).
+    # materialize() (not raw localCheckpoint) so the cut takes the
+    # RELIABLE checkpoint path on a cluster — executor loss mid-stage
+    # re-reads replicated blocks instead of recomputing the shingle
+    # chain (VERDICT r3 #3; same strategy as components.py).
+    posts = materialize(posts, eager=False)
     df_counts = posts.groupBy("h").agg(F.count("*").alias("df"))
     # arg-min via min(struct(df, h)): lexicographic struct ordering ==
     # the (df, h) sort, but with map-side partial aggregation — a

@@ -214,6 +214,48 @@ def ann_near_dup_pairs_banded(emb: DataFrame,
     )
 
 
+def run_embedding_dedup(emb: DataFrame, threshold: float = 0.9,
+                        target_cos: float = 0.97, target_recall: float = 0.999,
+                        id_col: str = "vec_id", dim: int | None = None,
+                        seed: int = 42) -> tuple[DataFrame, dict]:
+    """n-adaptive embedding near-dup pairs — the pipeline-level entry
+    (VERDICT r3 task #5): count n once, derive (bands, planes_per_band)
+    from lsh_sizing(n), and run the banded blocking→verify operator.
+
+    Any FIXED plane count is wrong at some scale — too few planes is
+    quadratic candidate volume at 10^9 vectors, too many is recall loss
+    at 10^3 — so the sizing must be computed from the corpus, not
+    pinned in a config. Costs one count() job up front; the pair frame
+    is materialized (cluster-safe via materialize()) before return so
+    the bucket-projection cache can be released here rather than
+    leaking to the caller.
+
+    Returns ``(pairs, info)`` where pairs is (src_vec, dst_vec) with
+    exact cosine >= threshold, and info records n/dim/bands/rows.
+    """
+    from .materialize import materialize
+
+    n = emb.count()
+    if dim is None:
+        first = emb.select(id_col, "embedding").head()
+        if first is None:
+            return emb.sparkSession.createDataFrame(
+                [], "src_vec long, dst_vec long"
+            ), {"n": 0, "dim": 0, "bands": 0, "rows": 0}
+        dim = len(first["embedding"])
+    bands, rows = lsh_sizing(n, target_cos=target_cos,
+                             target_recall=target_recall)
+    planes = banded_planes(dim, bands, rows, seed)
+    handles: list = []
+    pairs = ann_near_dup_pairs_banded(
+        emb, planes, threshold, id_col=id_col, handles_out=handles
+    )
+    pairs = materialize(pairs, eager=True)
+    for h in handles:
+        h.unpersist()
+    return pairs, {"n": n, "dim": dim, "bands": bands, "rows": rows}
+
+
 def ann_near_dup_pairs(emb: DataFrame, planes: list[list[float]],
                        threshold: float, id_col: str = "vec_id") -> DataFrame:
     """LSH-bucketed near-dup pairs: same sign-bucket → exact cosine >=

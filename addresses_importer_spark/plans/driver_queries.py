@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..config import DedupConfig
 from ..functions import oracle_fragments as O
-from ..functions.hashing import md5_long
+from ..functions.hashing import POLY_BASE, POLY_MOD, md5_long
 from ..functions.text import normalize_text, token_count
 from ..operators.candidates import build_candidates
 from ..operators.components import connected_components
@@ -612,18 +612,36 @@ FROM (
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: content md5 + min shingle hash (bottom-1
-    sketch) + set size — X7-style u64 re-hash surface (dedupe.rs:81-85)."""
-    from ..functions.hashing import base_hashes
-    from ..functions.text import char_shingles
+    sketch) + set size — X7-style u64 re-hash surface (dedupe.rs:81-85).
+
+    Round 4 (VERDICT r3 task #3): the shingle base hash is the
+    polynomial rolling family (hashing.poly_hashes_from_codes_sql), not
+    md5-per-shingle — DuckDB 1.0 ships no xxhash64/crc32 so the
+    verdict's xxhash64 candidate has no pure-SQL oracle twin, but the
+    poly fold does (bit-identical fold in both engines, parity-tested
+    in tests/test_hashing.py) and removes the per-shingle hex
+    materialize+parse that made this the slowest contract query
+    (19.4 s of the 80.6 s r3 total). md5 variant kept below for the
+    recorded A/B."""
+    from ..functions.hashing import poly_codes_sql, poly_hashes_from_codes_sql
 
     docs = _read(spark, sf_dir, "documents")
     norm = normalize_text(F.col("text"))
-    hashes = F.array_distinct(base_hashes(char_shingles(norm, CFG.shingle_width), CFG))
-    # two-step projection: `hashes` feeds three output columns; inlined
-    # into one select, the full per-shingle md5 chain was evaluated
-    # three times per row (35 s at sf0.1 → ~12 s). CollapseProject
-    # keeps the split because the alias is non-cheap and multi-referenced.
-    with_hashes = docs.select("doc_id", "text", hashes.alias("hashes"))
+    # three-step projection: codes is multi-referenced by the hash fold
+    # and hashes by three output columns; inlined, each reference would
+    # re-evaluate the full upstream chain per row (the md5 variant
+    # measured 35 s -> ~12 s from the same split). CollapseProject
+    # keeps the splits because the aliases are non-cheap and
+    # multi-referenced.
+    with_codes = docs.select("doc_id", "text", norm.alias("norm")).select(
+        "doc_id", "text", F.expr(poly_codes_sql("norm")).alias("codes")
+    )
+    with_hashes = with_codes.select(
+        "doc_id", "text",
+        F.expr(
+            poly_hashes_from_codes_sql("codes", CFG.shingle_width)
+        ).alias("hashes"),
+    )
     return with_hashes.select(
         "doc_id",
         F.md5("text").alias("content_md5"),
@@ -632,6 +650,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# norm is projected to its own subquery column first: DuckDB lambdas
+# re-evaluate per reference, so inlining the regexp chain into the
+# per-char transform would be O(len^2) regexps
 SQL_DOC_FINGERPRINT = f"""
 SELECT doc_id,
        md5(text) AS content_md5,
@@ -639,10 +660,31 @@ SELECT doc_id,
        len(hashes) AS n_shingles
 FROM (
     SELECT doc_id, text,
-           list_distinct({O.sql_base_hashes(O.sql_shingles(_SQL_NORM_TEXT, CFG.shingle_width), CFG)}) AS hashes
-    FROM documents
+           {O.sql_poly_hashes_from_codes('codes', CFG.shingle_width, POLY_BASE, POLY_MOD)} AS hashes
+    FROM (
+        SELECT doc_id, text, {O.sql_poly_codes('norm')} AS codes
+        FROM (SELECT doc_id, text, {_SQL_NORM_TEXT} AS norm FROM documents)
+    )
 )
 """
+
+
+def q_doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 md5-per-shingle fingerprint, kept ONLY for the
+    recorded base-hash A/B (BENCH.md round 4); not a contract entry."""
+    from ..functions.hashing import base_hashes
+    from ..functions.text import char_shingles
+
+    docs = _read(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    hashes = F.array_distinct(base_hashes(char_shingles(norm, CFG.shingle_width), CFG))
+    with_hashes = docs.select("doc_id", "text", hashes.alias("hashes"))
+    return with_hashes.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.when(F.size("hashes") > 0, F.array_min("hashes")).alias("min_shingle_hash"),
+        F.size("hashes").alias("n_shingles"),
+    )
 
 
 SIMHASH_TEXT_BITS = 32

@@ -15,8 +15,10 @@ Usage:
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import time
@@ -87,6 +89,10 @@ def run_one(cores: int) -> None:
         "cores": cores, "clips": n, "survivors": n_surv,
         "wall_sec": round(wall, 2),
         "clips_per_sec": round(n / wall, 2),
+        # per-stage walls ride along so every scaling rep doubles as a
+        # which-stage-stops-scaling profile (Amdahl diagnosis)
+        "stage_sec": {k[4:]: round(v, 2) for k, v in res.metrics.items()
+                      if k.startswith("sec:")},
     }))
     spark.stop()
 
@@ -129,7 +135,11 @@ def main() -> None:
     # measures the host, not the engine; invalid reps are recorded,
     # never counted. Engine efficiency is only meaningful relative to
     # what the hardware delivered across the same window.
-    reps = int(os.environ.get("SCALING_REPS", "3"))
+    # ODD valid-rep count by default: with an even count any "median"
+    # is a choice between two order statistics, and round 3's upper-
+    # middle pick was exactly the difference between pass and fail
+    # (VERDICT r3 #1). Odd count + statistics.median leaves no choice.
+    reps = int(os.environ.get("SCALING_REPS", "5"))
     gate = float(os.environ.get("SCALING_GATE", "0.85"))
     # a control ABOVE this band is as invalid as one below the gate: a
     # 2->8 control "efficiency" of e.g. 1.67 can only mean the control's
@@ -137,7 +147,9 @@ def main() -> None:
     # exist) — the window is junk, not extra-clean
     gate_hi = float(os.environ.get("SCALING_GATE_HI", "1.2"))
     gate_tries = int(os.environ.get("SCALING_GATE_TRIES", "15"))
-    max_attempts = int(os.environ.get("SCALING_MAX_ATTEMPTS", str(reps * 3)))
+    # ABBA reps are ~2x the legs of an AB rep, so bound total attempts
+    # tighter than r3's reps*3 (wall budget, not statistics)
+    max_attempts = int(os.environ.get("SCALING_MAX_ATTEMPTS", str(reps + 3)))
     from bench_hw_control import measure as hw_measure
 
     def control_eff() -> float:
@@ -157,23 +169,53 @@ def main() -> None:
         for _ in range(gate_tries):
             if ctl_ok(ctl):
                 break
-            print(f"rep{r} gate: hw control {ctl} < {gate}, host busy; waiting")
+            print(f"rep{r} gate: hw control {ctl} outside [{gate}, {gate_hi}], "
+                  f"host busy; waiting")
             time.sleep(45)
             ctl = control_eff()
+        if not ctl_ok(ctl):
+            # the gate never passed: the window is already known-invalid,
+            # so running ~30 min of Spark legs inside it would only
+            # measure the host (ADVICE r3). Count the attempt and move on.
+            print(f"rep{r} SKIPPED: hw control {ctl} never entered "
+                  f"[{gate}, {gate_hi}] after {gate_tries} tries")
+            all_reps.append({
+                "legs": {}, "hw_control_before": ctl, "hw_control_after": None,
+                "efficiency": None, "valid": False, "skipped_gate": True,
+            })
+            continue
         print(f"rep{r} hw_control_eff_before {ctl}")
-        legs: dict[int, dict] = {}
-        for cores in CORES:
+        # ABBA leg ordering (lo, hi, hi, lo): any linear host-speed
+        # drift across the rep window hits the lo and hi legs with the
+        # same average weight, so the per-rep ratio of geometric means
+        # cancels it to first order. A plain AB rep aliases drift
+        # directly into the efficiency (BENCH.md r3 named this as the
+        # next refinement; VERDICT r3 task #1 requires it).
+        runs: list[dict] = []
+        for cores in (lo, hi, hi, lo):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", str(cores)],
                 capture_output=True, text=True, timeout=3600,
             )
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-            legs[cores] = json.loads(line)
+            runs.append(json.loads(line))
             print(f"rep{r} {line}")
         ctl_after = control_eff()
-        eff_r = (legs[hi]["clips_per_sec"] / legs[lo]["clips_per_sec"]) / (hi / lo)
+
+        def gm_tp(cores: int) -> float:
+            vals = [run["clips_per_sec"] for run in runs if run["cores"] == cores]
+            return math.exp(sum(math.log(v) for v in vals) / len(vals))
+
+        eff_r = (gm_tp(hi) / gm_tp(lo)) / (hi / lo)
         rep = {
-            "legs": legs,
+            "legs": {c: {
+                "cores": c,
+                "clips": runs[0]["clips"],
+                "survivors": [run["survivors"] for run in runs
+                              if run["cores"] == c][0],
+                "runs": [run for run in runs if run["cores"] == c],
+                "clips_per_sec_gm": round(gm_tp(c), 2),
+            } for c in CORES},
             "hw_control_before": ctl,
             "hw_control_after": ctl_after,
             "efficiency": round(eff_r, 3),
@@ -183,29 +225,39 @@ def main() -> None:
         print(f"rep{r} hw_control_eff_after {ctl_after} "
               f"eff {rep['efficiency']} valid {rep['valid']}")
 
-    def median(vals):
-        s = sorted(vals)
-        return s[len(s) // 2]
+    # conventional (interpolated) median — round 3's sorted(v)[n//2] was
+    # the UPPER median, the most favorable order statistic that can be
+    # called "median" on an even count, and it flipped a 0.777 into a
+    # 0.803 (VERDICT r3 #1). statistics.median leaves no such choice.
+    median = statistics.median
 
     valid_reps = [r for r in all_reps if r["valid"]]
-    counted = valid_reps or all_reps  # never divide by zero; honesty flag below
-    tp = {c: median([r["legs"][c]["clips_per_sec"] for r in counted]) for c in CORES}
-    wall = {c: median([r["legs"][c]["wall_sec"] for r in counted]) for c in CORES}
-    # efficiency per rep, then median: the two legs of one rep run
-    # back-to-back, so host drift (which moves slower than a rep) hits
-    # both legs of a rep roughly equally, unlike a ratio of
-    # cross-rep medians
+    counted = valid_reps or [r for r in all_reps if r["legs"]]
+    if not counted:
+        print("no reps ran (gate never passed); nothing to summarize")
+        return
+    tp = {c: round(median([r["legs"][c]["clips_per_sec_gm"] for r in counted]), 2)
+          for c in CORES}
+    wall = {c: round(median([run["wall_sec"] for r in counted
+                             for run in r["legs"][c]["runs"]]), 2)
+            for c in CORES}
+    # efficiency per rep, then median: the four ABBA legs of one rep run
+    # back-to-back, so host drift (which moves slower than a rep) is
+    # cancelled within the rep, unlike a ratio of cross-rep medians
     eff = median([r["efficiency"] for r in counted])
     summary = {
         "protocol": (
             f"local[{lo}] vs local[{hi}], identical input+config, fresh JVM "
-            f"each, interleaved reps; each rep's window gated on a hardware "
-            f"control (pure numpy process pool, zero Spark) in [{gate}, "
-            f"{gate_hi}] both BEFORE and AFTER its legs; median over the "
-            f"{len(valid_reps)} "
-            f"valid of {len(all_reps)} attempted reps (invalid reps recorded "
+            f"per leg; ABBA leg order ({lo},{hi},{hi},{lo}) per rep with "
+            f"per-parallelism geometric means (cancels linear host drift "
+            f"within a rep); each rep's window gated on a hardware control "
+            f"(pure numpy process pool, zero Spark) in [{gate}, {gate_hi}] "
+            f"both BEFORE and AFTER its legs; CONVENTIONAL interpolated "
+            f"median (statistics.median) over the {len(valid_reps)} valid "
+            f"of {len(all_reps)} attempted reps (invalid reps recorded "
             f"below, never counted)"
         ),
+        "estimator": "statistics.median over per-rep ABBA efficiencies",
         "clips": counted[0]["legs"][lo]["clips"],
         f"throughput_local{lo}": tp[lo],
         f"throughput_local{hi}": tp[hi],

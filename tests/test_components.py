@@ -66,3 +66,20 @@ def test_distributed_path_chain(spark):
     comp = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")],
                driver_max_edges=0)
     assert comp == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_driver_max_edges_boundary(spark):
+    """n_edges == bound → driver union-find; bound+1 → distributed star
+    loop. Both must label identically AT the boundary (VERDICT r3 task
+    #8): a 7-edge forest run with driver_max_edges=7 and then 6 (one
+    below its distinct-canonical edge count) exercises <=/> on the
+    exact count the probe measures — distinct CANONICAL edges, so the
+    planted duplicate+reversed edge must not tip the count."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"),
+             ("x", "y"), ("y", "z"),
+             ("p", "q"), ("q", "r"),
+             ("b", "a"), ("a", "b")]  # canonical dups: still 7 distinct
+    at_bound = _cc(spark, pairs, driver_max_edges=7)     # == bound: driver
+    above = _cc(spark, pairs, driver_max_edges=6)        # > bound: loop
+    assert at_bound == above
+    assert at_bound["d"] == "a" and at_bound["z"] == "x" and at_bound["r"] == "p"

@@ -122,3 +122,57 @@ def test_jaccard_expr(spark):
 def test_empty_text_yields_no_signature(spark):
     s = spark_rows(spark, ["", "ab"], CFG)  # both shorter than shingle width
     assert s[0]["sig"] is None and s[1]["sig"] is None
+
+
+def test_poly_hash_parity_spark_duckdb_python(spark):
+    """The round-4 polynomial base-hash family (VERDICT r3 task #3):
+    Spark fold, DuckDB fold, and a plain-Python reference must agree as
+    SETS on every fixture text (DuckDB's list_distinct does not
+    preserve order; all consumers are order-insensitive)."""
+    from addresses_importer_spark.functions.hashing import (
+        POLY_BASE, POLY_MOD, poly_codes_sql, poly_hashes_from_codes_sql,
+    )
+
+    w = CFG.shingle_width
+
+    def py_norm(t):
+        import re
+        return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+
+    def py_poly(s):
+        out = set()
+        for i in range(len(s) - w + 1):
+            h = 0
+            for c in s[i:i + w]:
+                h = (h * POLY_BASE + ord(c)) % POLY_MOD
+            out.add(h)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "i int, t string"
+    )
+    got_spark = {
+        r["i"]: set(r["h"])
+        for r in df.select(
+            "i", normalize_text(F.col("t")).alias("norm")
+        ).select(
+            "i", F.expr(poly_codes_sql("norm")).alias("codes")
+        ).select(
+            "i", F.expr(poly_hashes_from_codes_sql("codes", w)).alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ", ".join(f"({i}, ?)" for i in range(len(TEXTS))) +
+                ") v(i, txt)", TEXTS)
+    sql = (
+        f"SELECT i, {O.sql_poly_hashes_from_codes('codes', w, POLY_BASE, POLY_MOD)} AS h "
+        f"FROM (SELECT i, {O.sql_poly_codes('norm')} AS codes "
+        f"FROM (SELECT i, {O.sql_normalize('txt')} AS norm FROM t))"
+    )
+    got_duck = {i: set(h) for i, h in con.execute(sql).fetchall()}
+    for i, t in enumerate(TEXTS):
+        exp = py_poly(py_norm(t))
+        assert got_spark[i] == exp, (t, sorted(got_spark[i])[:3], sorted(exp)[:3])
+        assert got_duck[i] == exp, t
+        assert len(got_spark[i]) == len(got_duck[i])
