@@ -136,7 +136,16 @@ def connected_components(edges: DataFrame, max_iters: int = 25,
     id pairs; a 10^12-clip corpus can exceed it by orders of
     magnitude) the O(log n) large-star/small-star loop runs unchanged
     — the labeling is identical either way (min-member component ids),
-    asserted by the chain/star/forest goldens run through both paths."""
+    asserted by the chain/star/forest goldens run through both paths.
+
+    Memory contract at the default bound (measured, round 4, via
+    jobs/measure_uf_rss.py: 1,000,000 edges over 1.3M ~14-char string
+    ids): driver *python* peak-RSS delta 374 MB (toPandas Arrow copy +
+    factorize + parent array + result frame), absolute peak 511 MB —
+    comfortable on an 8 GB driver. The JVM driver transiently holds the
+    collected Arrow batches (~70 MB of id pairs) on top. Scale
+    driver_max_edges roughly linearly with available driver memory:
+    ~400 MB python RSS per 1M edges."""
     spark = edges.sparkSession
     # eager materialization up front: the count probe below is an
     # action, and round 1 would otherwise recompute the caller's entire
