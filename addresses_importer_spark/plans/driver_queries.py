@@ -1142,6 +1142,217 @@ ORDER BY o_orderkey LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (documents) — exact all-pairs similarity
+# via AllPairs/PPJoin prefix filtering (recall 1.0 at the target tau)
+# ---------------------------------------------------------------------------
+
+#: integer-arithmetic tau (n_inter * 100 >= TAU_PCT * n_union): bit-exact
+#: in both engines, no float threshold hazards
+JACCARD_TAU_PCT = 60
+#: prefix-filter tau: the pair frame is built to catch EVERY pair with
+#: Jaccard >= 0.5 (the smallest threshold the dedup_rate_curve sweeps);
+#: the pairs query then applies its own >= 0.6 cut on exact evidence
+PREFIX_TAU_PCT = 50
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared chain for the Jaccard contract queries: derived corpus ->
+    poly-rolling shingle-hash SETS (the round-4 cheap base-hash family)
+    -> AllPairs/PPJoin PREFIX-FILTER candidates -> exact per-pair
+    intersection/union sizes.
+
+    Prefix filter (Bayardo et al., WWW'07): order every token by the
+    global (df, h) total order; each doc indexes only its first
+    ``n - ceil(tau*n) + 1`` tokens. If J(a,b) >= tau then
+    |inter| >= tau*|a| and >= tau*|b|, so the globally-smallest shared
+    token provably lies in BOTH prefixes — the prefix equi-join has
+    recall 1.0 for every pair at or above tau, while frequent tokens
+    (which explode a naive inverted-index join quadratically) fall
+    outside the short prefixes of the docs that contain them. Rarest
+    tokens carry the candidates: the same global-df trick as the suffix
+    detector's rarest-shingle keys (operators/signatures.py). All
+    length arithmetic is integer ((tau_pct*n + 99) div 100), bit-exact
+    across engines. Memoized per (session, sf_dir) like the minhash
+    chain; the hash-set frame is used three times (postings + both
+    sides of the pair join)."""
+    from ..functions.hashing import poly_codes_sql, poly_hashes_from_codes_sql
+
+    def build():
+        corpus = corpus_df(spark, sf_dir)
+        normed = corpus.select(
+            "clip_id", normalize_text(F.col("transcript")).alias("norm")
+        )
+        # three-step projection (doc_fingerprint lesson): codes and
+        # hashes are each multi-referenced; inlined, Catalyst would
+        # re-evaluate the full upstream chain per reference
+        coded = normed.select(
+            "clip_id", F.expr(poly_codes_sql("norm")).alias("codes")
+        )
+        hashed = materialize(
+            coded.select(
+                "clip_id",
+                F.expr(
+                    poly_hashes_from_codes_sql("codes", CFG.shingle_width)
+                ).alias("hashes"),
+            ),
+            eager=False,
+        )
+        posts = hashed.select("clip_id", F.explode("hashes").alias("h"))
+        # global document frequency per token (the AQE planner picks a
+        # broadcast when the distinct-token table is small enough; at
+        # 100 TB it shuffles — both are the right plan at their scale)
+        df_counts = posts.groupBy("h").agg(F.count("*").alias("d"))
+        ranked = (
+            posts.join(df_counts, "h")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("clip_id").orderBy("d", "h")
+                ),
+            )
+            .withColumn("n_tok", F.count("*").over(Window.partitionBy("clip_id")))
+        )
+        prefix = ranked.filter(
+            F.col("rn")
+            <= F.col("n_tok")
+            - F.expr(f"({PREFIX_TAU_PCT} * n_tok + 99) div 100")
+            + 1
+        ).select("clip_id", "h")
+        cand = (
+            prefix.alias("a")
+            .join(prefix.alias("b"), "h")
+            .filter(F.col("a.clip_id") < F.col("b.clip_id"))
+            .select(
+                F.col("a.clip_id").alias("a_id"),
+                F.col("b.clip_id").alias("b_id"),
+            )
+            .distinct()
+        )
+        ha = hashed.select(
+            F.col("clip_id").alias("a_id"), F.col("hashes").alias("a_hashes")
+        )
+        hb = hashed.select(
+            F.col("clip_id").alias("b_id"), F.col("hashes").alias("b_hashes")
+        )
+        # hash arrays shuffle only to the (volume-bounded) candidate
+        # pairs, never all-pairs; n_inter projected once, reused for
+        # n_union in a second projection so array_intersect evaluates
+        # one time per pair
+        sized = (
+            cand.join(ha, "a_id")
+            .join(hb, "b_id")
+            .select(
+                "a_id", "b_id",
+                F.size(F.array_intersect("a_hashes", "b_hashes")).alias("n_inter"),
+                F.size("a_hashes").alias("na"),
+                F.size("b_hashes").alias("nb"),
+            )
+        )
+        pairs = sized.select(
+            "a_id", "b_id", "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+        )
+        return materialize(pairs, eager=False)
+
+    return _chain_val(spark, ("jaccard_pairs", sf_dir), build)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class n-gram Jaccard near-dup detector over `documents`
+    (the exact-verification counterpart of the MinHash estimate the
+    pipeline's H1/J1 chain uses — dedupe.rs:59-76 computes the same
+    shingle-set Jaccard exactly per candidate pair). Emits every pair
+    with Jaccard >= 0.6 plus the integer intersection/union evidence."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    return pairs.filter(
+        F.col("n_inter") * 100 >= JACCARD_TAU_PCT * F.col("n_union")
+    )
+
+
+def _sql_jaccard_pairs_ctes() -> str:
+    """Oracle twin of _jaccard_pairs (shared by both Jaccard queries)."""
+    from ..functions.hashing import POLY_BASE as _B, POLY_MOD as _M
+
+    return f"""{_CTE_CORPUS},
+normed AS MATERIALIZED (
+    SELECT clip_id, {O.sql_normalize('transcript')} AS norm FROM corpus
+),
+hashed AS MATERIALIZED (
+    SELECT clip_id,
+           {O.sql_poly_hashes_from_codes('codes', CFG.shingle_width, _B, _M)} AS hashes
+    FROM (SELECT clip_id, {O.sql_poly_codes('norm')} AS codes FROM normed)
+),
+posts AS (SELECT clip_id, unnest(hashes) AS h FROM hashed),
+ranked AS (
+    SELECT p.clip_id, p.h,
+           row_number() OVER (PARTITION BY p.clip_id ORDER BY d.d, p.h) AS rn,
+           count(*) OVER (PARTITION BY p.clip_id) AS n_tok
+    FROM posts p
+    JOIN (SELECT h, count(*) AS d FROM posts GROUP BY h) d USING (h)
+),
+prefix AS (
+    SELECT clip_id, h FROM ranked
+    WHERE rn <= n_tok - ({PREFIX_TAU_PCT} * n_tok + 99) // 100 + 1
+),
+cand AS (
+    SELECT DISTINCT a.clip_id AS a_id, b.clip_id AS b_id
+    FROM prefix a JOIN prefix b ON a.h = b.h AND a.clip_id < b.clip_id
+),
+pairs AS MATERIALIZED (
+    SELECT a_id, b_id,
+           len(list_intersect(ha.hashes, hb.hashes)) AS n_inter,
+           len(ha.hashes) + len(hb.hashes)
+               - len(list_intersect(ha.hashes, hb.hashes)) AS n_union
+    FROM cand
+    JOIN hashed ha ON cand.a_id = ha.clip_id
+    JOIN hashed hb ON cand.b_id = hb.clip_id
+)"""
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {_sql_jaccard_pairs_ctes()}
+SELECT a_id, b_id, n_inter::BIGINT AS n_inter, n_union::BIGINT AS n_union
+FROM pairs
+WHERE n_inter * 100 >= {JACCARD_TAU_PCT} * n_union
+"""
+
+
+#: threshold sweep for the dedup-rate curve (integer percents)
+DEDUP_RATE_TAUS = [50, 60, 70, 80, 90]
+
+
+def q_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup-rate diagnostic: how many near-dup pairs
+    survive at each Jaccard threshold — the what-would-we-drop curve a
+    training-data pipeline consults before committing to a tau. One
+    pass over the (already volume-bounded) candidate pairs; the sweep
+    is a tiny literal-array explode, not a re-scan per threshold."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    taus = F.explode(F.array(*[F.lit(t) for t in DEDUP_RATE_TAUS])).alias("tau")
+    return (
+        pairs.select("n_inter", "n_union", taus)
+        .groupBy("tau")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n_inter") * 100 >= F.col("tau") * F.col("n_union"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_pairs")
+        )
+    )
+
+
+SQL_DEDUP_RATE_CURVE = f"""
+WITH {_sql_jaccard_pairs_ctes()}
+SELECT tau, sum(CASE WHEN n_inter * 100 >= tau * n_union
+                     THEN 1 ELSE 0 END)::BIGINT AS n_pairs
+FROM pairs
+CROSS JOIN (VALUES {', '.join(f'({t})' for t in DEDUP_RATE_TAUS)}) t(tau)
+GROUP BY tau
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1171,6 +1382,8 @@ QUERIES = {
     "union_sources": q_union_sources,
     "minmax_hash": q_minmax_hash,
     "point_lookup": q_point_lookup,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_rate_curve": q_dedup_rate_curve,
 }
 
 ORACLES = {
@@ -1199,4 +1412,6 @@ ORACLES = {
     "union_sources": SQL_UNION_SOURCES,
     "minmax_hash": SQL_MINMAX_HASH,
     "point_lookup": SQL_POINT_LOOKUP,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "dedup_rate_curve": SQL_DEDUP_RATE_CURVE,
 }

@@ -73,18 +73,28 @@ def run_one(cores: int) -> None:
     # 30-60 s of interpreter/C2-compilation time lands in every leg as
     # a core-independent constant (real executors are long-lived and
     # warm, so the cold-JVM tax is a local-mode artifact).
-    warm_ckpt = f"{_BASE}/ckpt_warm_{cores}"
-    shutil.rmtree(warm_ckpt, ignore_errors=True)
-    warm = run_pipeline(spark, clips.limit(4000), DedupConfig(), warm_ckpt)
-    warm.survivors.count()
-    shutil.rmtree(warm_ckpt, ignore_errors=True)
+    # pid-suffixed checkpoint dirs: a debug/manual leg racing a
+    # protocol leg over a SHARED ckpt dir cross-contaminates both
+    # pipelines' manifests (observed round 4: two concurrent --one 2
+    # runs produced 22,660 survivors instead of 299,060 — each leg
+    # resumed/overwrote the other's stages mid-flight)
+    warm_ckpt = f"{_BASE}/ckpt_warm_{cores}_{os.getpid()}"
+    ckpt = f"{_BASE}/ckpt_{cores}_{os.getpid()}"
+    try:
+        shutil.rmtree(warm_ckpt, ignore_errors=True)
+        warm = run_pipeline(spark, clips.limit(4000), DedupConfig(), warm_ckpt)
+        warm.survivors.count()
+        shutil.rmtree(warm_ckpt, ignore_errors=True)
 
-    ckpt = f"{_BASE}/ckpt_{cores}"
-    shutil.rmtree(ckpt, ignore_errors=True)
-    t0 = time.time()
-    res = run_pipeline(spark, clips, DedupConfig(), ckpt)
-    n_surv = res.survivors.count()
-    wall = time.time() - t0
+        t0 = time.time()
+        res = run_pipeline(spark, clips, DedupConfig(), ckpt)
+        n_surv = res.survivors.count()
+        wall = time.time() - t0
+    finally:
+        shutil.rmtree(warm_ckpt, ignore_errors=True)
+        # survivors/metrics are already counted into plain values; the
+        # stage parquet is dead weight in /dev/shm after the leg
+        shutil.rmtree(ckpt, ignore_errors=True)
     print(json.dumps({
         "cores": cores, "clips": n, "survivors": n_surv,
         "wall_sec": round(wall, 2),
@@ -161,6 +171,17 @@ def main() -> None:
 
     lo, hi = CORES
     all_reps: list[dict] = []
+
+    def write_snapshot() -> None:
+        """Summarize + persist after EVERY rep: a wall-clock budget or
+        crash must never lose the completed reps (round-4 lesson — the
+        r3 protocol only wrote SCALING.json at the very end)."""
+        summary = summarize(all_reps, reps, gate, gate_hi)
+        if summary is not None:
+            print(json.dumps(summary))
+            with open("SCALING.json", "w") as f:
+                json.dump({"reps": all_reps, "summary": summary}, f, indent=2)
+
     attempt = 0
     while sum(r["valid"] for r in all_reps) < reps and attempt < max_attempts:
         r = attempt
@@ -183,6 +204,7 @@ def main() -> None:
                 "legs": {}, "hw_control_before": ctl, "hw_control_after": None,
                 "efficiency": None, "valid": False, "skipped_gate": True,
             })
+            write_snapshot()
             continue
         print(f"rep{r} hw_control_eff_before {ctl}")
         # ABBA leg ordering (lo, hi, hi, lo): any linear host-speed
@@ -197,7 +219,16 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__), "--one", str(cores)],
                 capture_output=True, text=True, timeout=3600,
             )
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            json_lines = [ln for ln in out.stdout.splitlines()
+                          if ln.startswith("{")]
+            if not json_lines:
+                # surface the subprocess failure instead of a bare
+                # IndexError (round-4 crash: stderr was swallowed)
+                sys.stderr.write(out.stderr[-4000:])
+                raise RuntimeError(
+                    f"leg local[{cores}] produced no JSON (rc={out.returncode})"
+                )
+            line = json_lines[-1]
             runs.append(json.loads(line))
             print(f"rep{r} {line}")
         ctl_after = control_eff()
@@ -224,22 +255,32 @@ def main() -> None:
         all_reps.append(rep)
         print(f"rep{r} hw_control_eff_after {ctl_after} "
               f"eff {rep['efficiency']} valid {rep['valid']}")
+        write_snapshot()
 
+    if not any(r["legs"] for r in all_reps):
+        print("no reps ran (gate never passed); nothing to summarize")
+
+
+def summarize(all_reps: list[dict], reps: int,
+              gate: float, gate_hi: float) -> dict | None:
     # conventional (interpolated) median — round 3's sorted(v)[n//2] was
     # the UPPER median, the most favorable order statistic that can be
     # called "median" on an even count, and it flipped a 0.777 into a
     # 0.803 (VERDICT r3 #1). statistics.median leaves no such choice.
     median = statistics.median
+    lo, hi = CORES
 
     valid_reps = [r for r in all_reps if r["valid"]]
     counted = valid_reps or [r for r in all_reps if r["legs"]]
     if not counted:
-        print("no reps ran (gate never passed); nothing to summarize")
-        return
-    tp = {c: round(median([r["legs"][c]["clips_per_sec_gm"] for r in counted]), 2)
+        return None
+    # legs dicts round-trip through json with string keys
+    def leg(r, c):
+        return r["legs"].get(c) or r["legs"][str(c)]
+    tp = {c: round(median([leg(r, c)["clips_per_sec_gm"] for r in counted]), 2)
           for c in CORES}
     wall = {c: round(median([run["wall_sec"] for r in counted
-                             for run in r["legs"][c]["runs"]]), 2)
+                             for run in leg(r, c)["runs"]]), 2)
             for c in CORES}
     # efficiency per rep, then median: the four ABBA legs of one rep run
     # back-to-back, so host drift (which moves slower than a rep) is
@@ -258,7 +299,7 @@ def main() -> None:
             f"below, never counted)"
         ),
         "estimator": "statistics.median over per-rep ABBA efficiencies",
-        "clips": counted[0]["legs"][lo]["clips"],
+        "clips": leg(counted[0], lo)["clips"],
         f"throughput_local{lo}": tp[lo],
         f"throughput_local{hi}": tp[hi],
         f"wall_local{lo}_sec": wall[lo],
@@ -273,13 +314,12 @@ def main() -> None:
             for r in all_reps if not r["valid"]
         ],
         "valid_rep_count": len(valid_reps),
+        "target_valid_reps": reps,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "meets_target": bool(valid_reps) and eff >= 0.8,
     }
-    print(json.dumps(summary))
-    with open("SCALING.json", "w") as f:
-        json.dump({"reps": all_reps, "summary": summary}, f, indent=2)
+    return summary
 
 
 if __name__ == "__main__":

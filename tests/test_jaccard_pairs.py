@@ -1,0 +1,78 @@
+"""First-class n-gram Jaccard near-dup queries over `documents`.
+
+The exact-verification counterpart of the pipeline's MinHash estimate
+(dedupe.rs:59-76 computes the same shingle-set Jaccard per candidate
+pair): df-bounded inverted-index blocking (PPJoin-family prefix filter)
++ exact intersection/union verify, and the corpus-level dedup-rate
+threshold curve built from the same pair frame.
+"""
+
+import duckdb
+import pytest
+
+from addresses_importer_spark.plans.driver_queries import (
+    COPY_OFFSET, DEDUP_RATE_TAUS, ORACLES, QUERIES,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pairs_pdf(spark):
+    return QUERIES["ngram_jaccard_pairs"](spark, SF_DIR).toPandas()
+
+
+@pytest.fixture(scope="module")
+def curve_pdf(spark):
+    return QUERIES["dedup_rate_curve"](spark, SF_DIR).toPandas()
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def _key(pdf):
+    cols = sorted(pdf.columns)
+    return sorted(tuple(str(v) for v in row)
+                  for row in pdf[cols].itertuples(index=False, name=None))
+
+
+def test_planted_prefix_copies_are_found(pairs_pdf):
+    """Every 80%-prefix copy planted by the derived corpus must pair
+    with its base doc at Jaccard >= 0.6 (an 80% prefix shares ~80% of
+    the shingle set -> J ~ 0.8/1.2 ~ 0.67 floor)."""
+    found = {(r.a_id, r.b_id) for r in pairs_pdf.itertuples()}
+    base_ids = {int(a) for a, _ in found} | {int(b) for _, b in found}
+    planted = [i for i in base_ids if i < COPY_OFFSET and i % 5 == 0]
+    assert planted, "fixture lost its planted near-dup copies"
+    for i in planted:
+        assert (f"{i:09d}", f"{i + COPY_OFFSET:09d}") in found
+
+
+def test_pair_evidence_is_consistent(pairs_pdf):
+    assert (pairs_pdf.n_inter <= pairs_pdf.n_union).all()
+    assert (pairs_pdf.n_inter * 100 >= 60 * pairs_pdf.n_union).all()
+    assert (pairs_pdf.a_id < pairs_pdf.b_id).all()
+    assert not pairs_pdf.duplicated(["a_id", "b_id"]).any()
+
+
+def test_curve_is_monotone_and_anchored(curve_pdf, pairs_pdf):
+    """n_pairs must be non-increasing in tau, and the tau=60 point must
+    equal the ngram_jaccard_pairs row count (same pair frame)."""
+    curve = dict(zip(curve_pdf.tau, curve_pdf.n_pairs))
+    assert sorted(curve) == sorted(DEDUP_RATE_TAUS)
+    vals = [curve[t] for t in sorted(curve)]
+    assert vals == sorted(vals, reverse=True)
+    assert curve[60] == len(pairs_pdf)
+
+
+def test_duckdb_parity(pairs_pdf, curve_pdf):
+    """Value-level parity with the oracle SQL at sf0.001 (the driver
+    re-checks this at sf0.01)."""
+    assert _key(pairs_pdf) == _key(_duck(ORACLES["ngram_jaccard_pairs"]))
+    assert _key(curve_pdf) == _key(_duck(ORACLES["dedup_rate_curve"]))
