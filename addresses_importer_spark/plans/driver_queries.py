@@ -1352,6 +1352,39 @@ GROUP BY tau
 """
 
 
+def q_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the CC labels — the standard dedup
+    diagnostic (how many pairs, triples, ... did blocking+verify
+    produce; a fat tail here means a blocking key is too coarse).
+    Reference analog: the per-cluster loop in deduplicator.rs:137-170
+    iterates exactly these groups; this materializes their size
+    distribution in two map-side-combinable aggs, no extra shuffle
+    beyond the component key (already the CC output partitioning)."""
+    comps = _chain_components(spark, sf_dir, (DETECTOR_MINHASH,))
+    sizes = comps.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+    )
+
+
+SQL_CLUSTER_SIZE_HIST = _with(
+    [_CTE_CORPUS, _CTE_FEATS, _CTE_SIGS_MINHASH, _CTE_CANDS,
+     _CTE_VERIFIED_MINHASH, _CTE_COMPONENTS],
+    """
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters
+    FROM (
+        SELECT component, count(*)::BIGINT AS cluster_size
+        FROM components GROUP BY component
+    )
+    GROUP BY cluster_size
+    """,
+    recursive=True,
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1384,6 +1417,7 @@ QUERIES = {
     "point_lookup": q_point_lookup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_rate_curve": q_dedup_rate_curve,
+    "cluster_size_hist": q_cluster_size_hist,
 }
 
 ORACLES = {
@@ -1414,4 +1448,5 @@ ORACLES = {
     "point_lookup": SQL_POINT_LOOKUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "dedup_rate_curve": SQL_DEDUP_RATE_CURVE,
+    "cluster_size_hist": SQL_CLUSTER_SIZE_HIST,
 }

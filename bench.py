@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "verified_pairs",
     "dedup_components",
     "dedup_survivors",
+    # near-free: aggregates the memoized components frame
+    "cluster_size_hist",
     "suffix_verified",
     "token_count",
     "token_count_bpe",
