@@ -150,8 +150,18 @@ class DedupConfig:
         ]
 
     def config_hash(self) -> str:
-        """Stable hash identifying this parameterization (stage manifests)."""
-        payload = json.dumps(asdict(self), sort_keys=True)
+        """Stable hash identifying this parameterization (stage manifests).
+
+        ``_hash_family`` tags the shingle→int64 base-hash family baked
+        into the signature expressions (round 5: polynomial rolling
+        hash base 131 mod 2^31-1, hashing.poly_hashes_from_codes_sql;
+        rounds 1-4 used md5-per-shingle). It participates in the hash
+        so checkpoints written under one family can never silently
+        resume under the other — same parameters, different values.
+        """
+        payload = json.dumps(
+            {**asdict(self), "_hash_family": "poly131"}, sort_keys=True
+        )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 

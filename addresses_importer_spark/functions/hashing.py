@@ -1,16 +1,25 @@
-"""Blocking-hash math: md5→int64 base hash, MinHash, LSH band keys.
+"""Blocking-hash math: shingle→int64 base hashes, MinHash, LSH band keys.
 
 Graft of the reference's ``hash_address`` (deduplicator/src/lib/dedupe.rs:61-86):
 there, libpostal ``near_dupe_hashes`` turns one record into a *set* of
 u64 blocking keys (re-hashed through DefaultHasher, dedupe.rs:81-85) such
 that near-duplicate records share at least one key. Here the same
 contract is met by MinHash-over-shingles + LSH banding, built entirely
-from JVM expressions (md5/conv/transform/array_min) so the signature
+from JVM expressions (transform/aggregate/array_min) so the signature
 stage is whole-stage-codegen'd — zero per-row Python.
 
-All math is defined over md5 so the DuckDB oracle can replicate it
-bit-for-bit (``('0x' || substr(md5(s),1,15))::BIGINT`` ==
-``conv(substring(md5(s),1,15),16,10)``).
+Two hash families, both with bit-exact DuckDB oracle twins:
+
+- shingle→int64 BASE hashes (the per-character-window hot path, O(len)
+  per row) use the polynomial rolling fold ``poly_hashes_from_codes_sql``
+  — pure integer multiply-mods in whole-stage codegen. The md5-per-
+  shingle family it replaced materialized + parsed a hex string per
+  shingle and measured ~11x slower (BENCH.md round-4 A/B); the swap is
+  round 5, tagged into DedupConfig.config_hash so old checkpoints
+  invalidate.
+- bucket-key / content hashes (one per record-band, not per character)
+  stay md5: ``('0x' || substr(md5(s),1,15))::BIGINT`` ==
+  ``conv(substring(md5(s),1,15),16,10)``.
 """
 
 from __future__ import annotations
@@ -25,49 +34,57 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def base_hashes(shingles_col: Column, cfg: DedupConfig) -> Column:
-    """Map each shingle to md5_long % mod (31-bit base hash domain)."""
-    mod = F.lit(cfg.minhash_mod)
-    return F.transform(shingles_col, lambda s: md5_long(s) % mod)
-
-
 #: polynomial rolling-hash parameters (poly_hashes / sql twin). Base 131
 #: over the Mersenne prime 2^31-1: acc*131 + code <= (2^31)*131 + 1114111
-#: < 2^39, no overflow under ANSI arithmetic in either engine.
+#: < 2^39, no overflow under ANSI arithmetic in either engine. POLY_MOD
+#: == config.MINHASH_MOD, so poly base hashes land in the same 31-bit
+#: domain the MinHash permutations (a*x+b) % MINHASH_MOD expect.
 POLY_BASE = 131
 POLY_MOD = 2_147_483_647
 
 
 def poly_codes_sql(norm_expr: str) -> str:
     """Spark SQL: per-char code-point array of a normalized string.
-    Callers MUST project this into its own column before feeding it to
-    poly_hashes_from_codes_sql — inlined inside that lambda, Catalyst
-    would re-split the string once per shingle position (O(len^2))."""
+    Project it into its own column before multi-referencing it (keeps
+    the split to one evaluation per row under CollapseProject)."""
     return f"transform(split({norm_expr}, ''), c -> ascii(c))"
 
 
-def poly_hashes_from_codes_sql(codes_col: str, width: int) -> str:
+def poly_hashes_from_codes_sql(codes_expr: str, width: int) -> str:
     """Spark SQL: distinct polynomial rolling hashes of every
-    ``width``-code window of a projected char-code array column — the
-    cheap base-hash family (VERDICT r3 task #3).
+    ``width``-code window of a char-code array — the cheap base-hash
+    family (VERDICT r3 task #3; whole-pipeline swap round 5).
 
     md5-per-shingle materializes a hex string and parses it back per
     shingle (O(len) md5 blocks + allocs per row); this computes the
     same shingle->int64 contract as pure integer folds (O(len*width)
-    multiply-mods inside whole-stage codegen, zero string allocation).
-    Distinctness is applied to the HASH values (not shingle strings) so
-    the DuckDB twin (oracle_fragments.sql_poly_hashes_from_codes) is
-    value-identical by construction. Input must derive from
-    normalize_text output ([a-z0-9 ] only, so ascii()/ord() char codes
-    agree across engines).
+    multiply-mods, zero string allocation). Distinctness is applied to
+    the HASH values (not shingle strings) so the DuckDB twin
+    (oracle_fragments.sql_poly_hashes_from_codes) is value-identical by
+    construction. Input must derive from normalize_text output
+    ([a-z0-9 ] only, so ascii()/ord() char codes agree across engines).
+
+    SELF-BINDING against expression inlining: ``codes_expr`` is bound
+    ONCE to the lambda variable ``cs`` via a 1-element transform, and
+    every window reads ``cs``. Without the binding, this expression is
+    only linear while ``codes_expr`` stays a projected attribute —
+    Catalyst's filter pushdown substitutes projected aliases into
+    predicates REGARDLESS of cost, and a predicate like
+    ``size(hashes) > 0`` then re-evaluates the char split once per
+    window position: O(len^2) per row, observed as a multi-minute
+    straggler task on a 100k-char transcript (jstack: StringSplit
+    inside ArrayTransform inside a GeneratedClass SpecificPredicate).
+    With the binding, any inlining costs at most one extra LINEAR
+    evaluation of the whole fold.
     """
-    fold = (f"aggregate(slice({codes_col}, i, {width}), cast(0 as bigint), "
+    fold = (f"aggregate(slice(cs, i, {width}), cast(0 as bigint), "
             f"(acc, c) -> (acc * {POLY_BASE} + c) % {POLY_MOD})")
     return (
-        f"CASE WHEN size({codes_col}) >= {width} THEN "
+        f"transform(array({codes_expr}), cs -> "
+        f"CASE WHEN size(cs) >= {width} THEN "
         f"array_distinct(transform("
-        f"sequence(1, size({codes_col}) - {width} + 1), i -> {fold})) "
-        f"ELSE array() END"
+        f"sequence(1, size(cs) - {width} + 1), i -> {fold})) "
+        f"ELSE array() END)[0]"
     )
 
 

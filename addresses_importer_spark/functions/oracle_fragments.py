@@ -23,21 +23,6 @@ def sql_normalize(expr: str) -> str:
     return f"trim(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'))"
 
 
-def sql_shingles(norm_expr: str, width: int) -> str:
-    """Distinct char shingles; empty list when text shorter than width."""
-    return (
-        f"CASE WHEN length({norm_expr}) >= {width} THEN "
-        f"list_distinct([substr({norm_expr}, i, {width}) "
-        f"for i in range(1, length({norm_expr}) - {width} + 2)]) "
-        f"ELSE [] END"
-    )
-
-
-def sql_base_hashes(shingles_expr: str, cfg: DedupConfig) -> str:
-    h = sql_md5_long("s")
-    return f"list_transform({shingles_expr}, s -> {h} % {cfg.minhash_mod})"
-
-
 def sql_minhash_signature(hashes_expr: str, cfg: DedupConfig) -> str:
     """[min((a*x+b) % mod) for each perm] as a LIST(BIGINT)."""
     mod = cfg.minhash_mod
@@ -75,12 +60,15 @@ def sql_poly_codes(norm_expr: str) -> str:
     )
 
 
-def sql_poly_hashes_from_codes(codes_col: str, width: int,
+def sql_poly_hashes_from_codes(codes_expr: str, width: int,
                                base: int, mod: int) -> str:
     """DuckDB twin of hashing.poly_hashes_from_codes_sql. DuckDB's
     list_reduce has no initial-accumulator argument (it seeds from the
     first element), so a 0 is prepended — identical to Spark's
     aggregate(..., 0, ...) fold. List slices are 1-based inclusive.
+    ``codes_expr`` is bound once to the lambda variable ``cs`` exactly
+    like the Spark side (self-binding keeps the fold linear under any
+    expression inlining; see hashing.poly_hashes_from_codes_sql).
 
     NOTE: DuckDB's list_distinct does NOT preserve element order while
     Spark's array_distinct does — the two sides agree as SETS. Only
@@ -88,14 +76,15 @@ def sql_poly_hashes_from_codes(codes_col: str, width: int,
     fragment; never hash or compare the raw array positionally."""
     fold = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"{codes_col}[i : i + {width - 1}]), "
+        f"cs[i : i + {width - 1}]), "
         f"(acc, c) -> (acc * {base} + c) % {mod})"
     )
     return (
-        f"CASE WHEN len({codes_col}) >= {width} THEN "
+        f"list_transform([{codes_expr}], cs -> "
+        f"CASE WHEN len(cs) >= {width} THEN "
         f"list_distinct(list_transform("
-        f"range(1, len({codes_col}) - {width} + 2), i -> {fold})) "
-        f"ELSE [] END"
+        f"range(1, len(cs) - {width} + 2), i -> {fold})) "
+        f"ELSE [] END)[1]"
     )
 
 

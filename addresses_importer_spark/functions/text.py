@@ -1,4 +1,8 @@
-"""Text normalization + shingling as JVM-side Column expressions.
+"""Text normalization + tokenization as JVM-side Column expressions.
+
+Shingle hashing lives in functions/hashing.py (polynomial rolling fold
+over the normalized char codes — shingle strings are never
+materialized; round-5 family swap).
 
 The reference delegates lexical normalization (case folding, accents,
 "av."/"avenue" abbreviation equivalence) to libpostal inside
@@ -24,23 +28,6 @@ def normalize_text(col: Column) -> Column:
     ``trim(regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g'))``.
     """
     return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
-
-
-def char_shingles(norm_col: Column, width: int) -> Column:
-    """Distinct character shingles of ``width`` over normalized text.
-
-    Empty result for texts shorter than ``width`` — the reference drops
-    records whose blocking-hash set is empty (deduplicator.rs:371-374).
-    Guarded because ``sequence(1, n)`` runs *descending* for n < 1.
-    """
-    n = F.length(norm_col)
-    shingles = F.transform(
-        F.sequence(F.lit(1), n - width + 1),
-        lambda i: F.substring(norm_col, i, width),
-    )
-    return F.when(n >= width, F.array_distinct(shingles)).otherwise(
-        F.array().cast("array<string>")
-    )
 
 
 def words(norm_col: Column) -> Column:

@@ -26,9 +26,10 @@ from pyspark.sql.types import LongType
 from ..config import CODEC_PRIORITY, DedupConfig
 from ..functions import audio as A
 from ..functions.hashing import (
-    band_keys, base_hashes, md5_long, minhash_signature, spark_sql_md5_long,
+    band_keys, md5_long, minhash_signature, poly_codes_sql,
+    poly_hashes_from_codes_sql, spark_sql_md5_long,
 )
-from ..functions.text import char_shingles, normalize_text
+from ..functions.text import normalize_text
 from .materialize import materialize
 
 DETECTOR_MINHASH = "minhash"
@@ -122,14 +123,19 @@ def build_features(clips: DataFrame, cfg: DedupConfig,
     if with_error_kind:
         cols.append(error_kind_expr().alias("error_kind"))
     df = clips.select(*cols)
+    # two-step projection for the polynomial rolling base hash (round-5
+    # family swap; ~11x over md5-per-shingle on the round-4 A/B): _codes
+    # is multi-referenced by the fold (size guard + per-window slice),
+    # and norm by _codes + the verify stage — CollapseProject keeps
+    # non-cheap multi-referenced aliases split, so the regexp chain and
+    # the char split each run once per row (same pattern as
+    # driver_queries.q_doc_fingerprint). Hash-value distinctness (set
+    # semantics, exact Jaccard sizes) is inside the fold expression,
+    # matching the DuckDB twin by construction.
+    df = df.withColumn("_codes", F.expr(poly_codes_sql("norm")))
     df = df.withColumn(
         "shingle_hashes",
-        # distinct: shingles are already distinct, but 31-bit base hashes
-        # can collide; set semantics keep Jaccard sizes exact (and match
-        # the DuckDB oracle's list_distinct)
-        F.array_distinct(
-            base_hashes(char_shingles(F.col("norm"), cfg.shingle_width), cfg)
-        ),
+        F.expr(poly_hashes_from_codes_sql("_codes", cfg.shingle_width)),
     )
     if with_audio:
         df = df.withColumn(
@@ -143,7 +149,7 @@ def build_features(clips: DataFrame, cfg: DedupConfig,
             F.size("shingle_hashes") > 0, minhash_signature("shingle_hashes", cfg)
         ),
     )
-    return df.drop("bytes")
+    return df.drop("bytes", "_codes")
 
 
 ROLE_BOTH = "both"   # symmetric blocking key (minhash bands)
@@ -206,15 +212,23 @@ def suffix_signatures(features: DataFrame, cfg: DedupConfig) -> DataFrame:
     sharing one globally-small-hash shingle (observed 892-member
     buckets and ~1.1M candidate pairs on a 2.6k corpus)."""
     sw = cfg.suffix_shingle_width
-    suffix_hashes = F.array_distinct(
-        base_hashes(char_shingles(F.col("norm"), sw), cfg)
+    # same two-step codes→fold projection as build_features (the wide
+    # suffix shingles were the heaviest md5 consumer pre-swap)
+    containable = (
+        features.filter(
+            F.length("norm") >= F.lit(max(cfg.min_containment_len, sw))
+        )
+        .select("clip_id", F.expr(poly_codes_sql("norm")).alias("_codes"))
+        .select(
+            "clip_id",
+            F.expr(poly_hashes_from_codes_sql("_codes", sw)).alias("sx"),
+        )
     )
-    containable = features.filter(
-        F.length("norm") >= F.lit(max(cfg.min_containment_len, sw))
-    ).select("clip_id", suffix_hashes.alias("sx"))
-    posts = containable.filter(F.size("sx") > 0).select(
-        "clip_id", F.explode("sx").alias("h")
-    )
+    # no size(sx) > 0 filter: the length(norm) >= sw filter above
+    # already guarantees a non-empty window set, and a predicate on the
+    # computed array would be pushdown-inlined into the scan filter,
+    # re-evaluating the fold per row (see poly_hashes_from_codes_sql)
+    posts = containable.select("clip_id", F.explode("sx").alias("h"))
     # the postings plan is referenced three times (df pre-pass, rarest
     # join, index keys) — unmaterialized, the wide-shingle md5 chain
     # would be evaluated three times over the whole corpus (measured:
@@ -276,8 +290,17 @@ def build_signatures(features: DataFrame, cfg: DedupConfig,
         )
     parts = []
     if DETECTOR_MINHASH in detectors:
+        # length(norm) >= width ⇔ minhash_sig IS NOT NULL (build_features
+        # gates the sig on a non-empty window set, and the window set is
+        # non-empty exactly when len(norm) >= shingle_width). The cheap
+        # predicate matters when `features` is a LIVE plan (streaming
+        # ingest / probe): filter pushdown would inline the computed
+        # sig expression — 64 perms over the bound fold — into the scan
+        # predicate and evaluate it once for the filter and once for
+        # the projection. On checkpointed features both forms are one
+        # attribute read.
         mh = (
-            features.filter(F.col("minhash_sig").isNotNull())
+            features.filter(F.length("norm") >= cfg.shingle_width)
             .select(
                 "clip_id",
                 F.explode(band_keys("minhash_sig", cfg)).alias("e"),

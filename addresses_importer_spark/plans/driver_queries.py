@@ -1,8 +1,9 @@
 """Driver-contract queries: Spark implementation + DuckDB oracle SQL.
 
 Each entry runs MY operators over the driver's parquet tables and has a
-bit-for-bit DuckDB oracle (same md5-based hash math, same constants from
-DedupConfig — see functions/oracle_fragments.py). The dedup-pipeline
+bit-for-bit DuckDB oracle (same hash math — polynomial rolling base
+hashes + md5 bucket keys — same constants from DedupConfig; see
+functions/oracle_fragments.py). The dedup-pipeline
 queries run over a derived corpus of `documents ∪ truncated copies`
 (SQL-expressible in both engines) so candidate/verify/CC paths are
 exercised on real collisions, mirroring the reference's golden-fixture
@@ -105,10 +106,13 @@ _CTE_CORPUS = f"""corpus AS (
 _CTE_FEATS = f"""normed AS MATERIALIZED (
     SELECT clip_id, {O.sql_normalize('transcript')} AS norm FROM corpus
 ),
+coded AS MATERIALIZED (
+    SELECT clip_id, norm, {O.sql_poly_codes('norm')} AS codes FROM normed
+),
 feats AS MATERIALIZED (
     SELECT clip_id, norm,
-           list_distinct({O.sql_base_hashes(O.sql_shingles('norm', CFG.shingle_width), CFG)}) AS hashes
-    FROM normed
+           {O.sql_poly_hashes_from_codes('codes', CFG.shingle_width, POLY_BASE, POLY_MOD)} AS hashes
+    FROM coded
 )"""
 
 _CTE_SIGS_MINHASH = f"""sig_t AS MATERIALIZED (
@@ -131,8 +135,8 @@ sigs AS MATERIALIZED (
 # md5-wraps it, which is injective for parity purposes)
 _CTE_SUFFIX_CANDS = f"""sx_feats AS MATERIALIZED (
     SELECT clip_id,
-           list_distinct({O.sql_base_hashes(O.sql_shingles('norm', CFG.suffix_shingle_width), CFG)}) AS sx
-    FROM normed
+           {O.sql_poly_hashes_from_codes('codes', CFG.suffix_shingle_width, POLY_BASE, POLY_MOD)} AS sx
+    FROM coded
     WHERE length(norm) >= {max(CFG.min_containment_len, CFG.suffix_shingle_width)}
 ),
 posts AS MATERIALIZED (
@@ -621,8 +625,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     poly fold does (bit-identical fold in both engines, parity-tested
     in tests/test_hashing.py) and removes the per-shingle hex
     materialize+parse that made this the slowest contract query
-    (19.4 s of the 80.6 s r3 total). md5 variant kept below for the
-    recorded A/B."""
+    (19.4 s of the 80.6 s r3 total). Round 5 swapped the whole
+    pipeline's base-hash family to the same fold (signatures.py); the
+    round-4 md5 A/B variant is recorded in BENCH.md and deleted."""
     from ..functions.hashing import poly_codes_sql, poly_hashes_from_codes_sql
 
     docs = _read(spark, sf_dir, "documents")
@@ -667,24 +672,6 @@ FROM (
     )
 )
 """
-
-
-def q_doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-3 md5-per-shingle fingerprint, kept ONLY for the
-    recorded base-hash A/B (BENCH.md round 4); not a contract entry."""
-    from ..functions.hashing import base_hashes
-    from ..functions.text import char_shingles
-
-    docs = _read(spark, sf_dir, "documents")
-    norm = normalize_text(F.col("text"))
-    hashes = F.array_distinct(base_hashes(char_shingles(norm, CFG.shingle_width), CFG))
-    with_hashes = docs.select("doc_id", "text", hashes.alias("hashes"))
-    return with_hashes.select(
-        "doc_id",
-        F.md5("text").alias("content_md5"),
-        F.when(F.size("hashes") > 0, F.array_min("hashes")).alias("min_shingle_hash"),
-        F.size("hashes").alias("n_shingles"),
-    )
 
 
 SIMHASH_TEXT_BITS = 32

@@ -17,6 +17,11 @@ import sys
 
 def main(path: str = "SCALING.json") -> None:
     doc = json.load(open(path))
+    if "reps" not in doc:
+        # round-3 pre-gate format: top-level {"runs": [...], "summary"}
+        print(f"{path}: pre-ABBA (round-3) format — no per-rep legs to "
+              f"pair; nothing to diagnose")
+        return
     pair_effs = []
     for i, rep in enumerate(doc["reps"]):
         legs = rep.get("legs") or {}
@@ -24,13 +29,19 @@ def main(path: str = "SCALING.json") -> None:
             print(f"rep{i}: skipped (gate never passed)")
             continue
         lo_key, hi_key = sorted(legs, key=lambda k: int(k))
-        lo, hi = legs[lo_key]["runs"], legs[hi_key]["runs"]
+        # pre-ABBA (round-3) reps carry per-leg scalars, not a runs
+        # list; legs recorded before --one emitted stage_sec lack that
+        # key — skip with a note instead of KeyError (ADVICE r4)
+        lo, hi = legs[lo_key].get("runs"), legs[hi_key].get("runs")
+        if not lo or not hi:
+            print(f"rep{i}: skipped (pre-ABBA rep format, no runs list)")
+            continue
         ratio = int(hi_key) / int(lo_key)
         # ABBA order: (lo0, hi0, hi1, lo1) -> pairs (lo0,hi0), (lo1,hi1)
         for p, (l, h) in enumerate([(lo[0], hi[0]), (lo[-1], hi[-1])]):
             eff = (h["clips_per_sec"] / l["clips_per_sec"]) / ratio
             pair_effs.append(eff)
-            stages = {k: v for k, v in h["stage_sec"].items()
+            stages = {k: v for k, v in h.get("stage_sec", {}).items()
                       if ":" not in k}
             print(f"rep{i} pair{p}: eff {eff:.3f} "
                   f"(lo {l['clips_per_sec']:.0f} c/s, "

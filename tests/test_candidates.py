@@ -174,6 +174,7 @@ def test_gate_corpus_has_no_oversize_buckets():
         CFG as QCFG, _CTE_CORPUS, _CTE_FEATS, _CTE_SIGS_MINHASH,
     )
     from addresses_importer_spark.functions import oracle_fragments as O
+    from addresses_importer_spark.functions.hashing import POLY_BASE, POLY_MOD
 
     con = duckdb.connect()
     con.execute(
@@ -188,11 +189,13 @@ def test_gate_corpus_has_no_oversize_buckets():
     sw = QCFG.suffix_shingle_width
     max_df = con.execute(
         f"WITH {_CTE_CORPUS}, normed AS ("
-        f"SELECT clip_id, {O.sql_normalize('transcript')} AS norm FROM corpus) "
+        f"SELECT clip_id, {O.sql_normalize('transcript')} AS norm FROM corpus), "
+        f"coded AS (SELECT clip_id, norm, {O.sql_poly_codes('norm')} AS codes "
+        f"FROM normed) "
         f"SELECT max(df) FROM (SELECT count(*) AS df FROM ("
-        f"SELECT clip_id, unnest(list_distinct("
-        f"{O.sql_base_hashes(O.sql_shingles('norm', sw), QCFG)})) AS h "
-        f"FROM normed WHERE length(norm) >= {max(QCFG.min_containment_len, sw)}"
+        f"SELECT clip_id, unnest("
+        f"{O.sql_poly_hashes_from_codes('codes', sw, POLY_BASE, POLY_MOD)}) AS h "
+        f"FROM coded WHERE length(norm) >= {max(QCFG.min_containment_len, sw)}"
         f") GROUP BY h)"
     ).fetchone()[0]
     assert max_mh < QCFG.bucket_cap, max_mh

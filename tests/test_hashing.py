@@ -14,9 +14,10 @@ from pyspark.sql import functions as F
 from addresses_importer_spark.config import DedupConfig
 from addresses_importer_spark.functions import oracle_fragments as O
 from addresses_importer_spark.functions.hashing import (
-    band_keys, base_hashes, jaccard, md5_long, minhash_signature,
+    POLY_BASE, POLY_MOD, band_keys, jaccard, md5_long, minhash_signature,
+    poly_codes_sql, poly_hashes_from_codes_sql,
 )
-from addresses_importer_spark.functions.text import char_shingles, normalize_text
+from addresses_importer_spark.functions.text import normalize_text
 
 CFG = DedupConfig(num_perm=16, bands=4, rows=4)  # small for test speed
 
@@ -33,8 +34,16 @@ TEXTS = [
 def spark_rows(spark, texts, cfg):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
     norm = normalize_text(F.col("t"))
-    sh = char_shingles(norm, cfg.shingle_width)
-    out = df.select("i", norm.alias("norm"), base_hashes(sh, cfg).alias("h"))
+    out = (
+        df.select("i", norm.alias("norm"))
+        .select("i", "norm", F.expr(poly_codes_sql("norm")).alias("codes"))
+        .select(
+            "i", "norm",
+            F.expr(
+                poly_hashes_from_codes_sql("codes", cfg.shingle_width)
+            ).alias("h"),
+        )
+    )
     out = out.select(
         "i", "norm",
         F.array_sort("h").alias("hashes"),
@@ -56,13 +65,15 @@ def duck_rows(texts, cfg):
                 ", ".join(f"({i}, ?)" for i in range(len(texts))) + ") v(i, t)",
                 list(texts))
     norm = O.sql_normalize("t")
-    sh = O.sql_shingles("norm", cfg.shingle_width)
-    hashes = O.sql_base_hashes("sh", cfg)
+    codes = O.sql_poly_codes("norm")
+    hashes = O.sql_poly_hashes_from_codes(
+        "codes", cfg.shingle_width, POLY_BASE, POLY_MOD
+    )
     sig = O.sql_minhash_signature("hashes", cfg)
     bands = O.sql_band_keys("sig", cfg)
     q = f"""
     WITH a AS (SELECT i, {norm} AS norm FROM t),
-         b AS (SELECT i, norm, {sh} AS sh FROM a),
+         b AS (SELECT i, norm, {codes} AS codes FROM a),
          c AS (SELECT i, norm, list_sort({hashes}) AS hashes FROM b),
          d AS (SELECT i, norm, hashes,
                       CASE WHEN len(hashes) > 0 THEN {sig} END AS sig FROM c)
