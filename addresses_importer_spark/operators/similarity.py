@@ -236,12 +236,26 @@ def run_embedding_dedup(emb: DataFrame, threshold: float = 0.9,
     from .materialize import materialize
 
     n = emb.count()
+
+    def _empty(d: int) -> tuple[DataFrame, dict]:
+        return emb.sparkSession.createDataFrame(
+            [], "src_vec long, dst_vec long"
+        ), {"n": n, "dim": d, "bands": 0, "rows": 0}
+
+    # gate on n == 0 BEFORE the dim probe: with dim passed explicitly an
+    # empty frame used to run lsh_sizing(0) and the full banded chain
+    # for nothing (ADVICE r4)
+    if n == 0:
+        return _empty(dim or 0)
     if dim is None:
-        first = emb.select(id_col, "embedding").head()
+        # NULL embeddings carry no dimensionality — probe the first
+        # non-null row (a leading NULL used to raise TypeError on len())
+        first = (
+            emb.filter(F.col("embedding").isNotNull())
+            .select(id_col, "embedding").head()
+        )
         if first is None:
-            return emb.sparkSession.createDataFrame(
-                [], "src_vec long, dst_vec long"
-            ), {"n": 0, "dim": 0, "bands": 0, "rows": 0}
+            return _empty(0)
         dim = len(first["embedding"])
     bands, rows = lsh_sizing(n, target_cos=target_cos,
                              target_recall=target_recall)

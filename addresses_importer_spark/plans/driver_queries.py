@@ -1142,6 +1142,48 @@ JACCARD_TAU_PCT = 60
 PREFIX_TAU_PCT = 50
 
 
+def prefix_filter_candidates(hashed: DataFrame,
+                             tau_pct: int = PREFIX_TAU_PCT) -> DataFrame:
+    """AllPairs/PPJoin prefix-filter candidate pairs over a
+    (clip_id, hashes) frame — the volume-bounding heart of the exact
+    Jaccard detector, exposed for the adversarial linearity golden
+    (VERDICT r4 #4): a stop token present in EVERY document has maximal
+    df, sorts to the very end of the (df, h) total order, and therefore
+    falls outside every document's prefix — the inverted-index join
+    stays linear where a naive token join goes quadratic."""
+    posts = hashed.select("clip_id", F.explode("hashes").alias("h"))
+    # global document frequency per token (the AQE planner picks a
+    # broadcast when the distinct-token table is small enough; at
+    # 100 TB it shuffles — both are the right plan at their scale)
+    df_counts = posts.groupBy("h").agg(F.count("*").alias("d"))
+    ranked = (
+        posts.join(df_counts, "h")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("clip_id").orderBy("d", "h")
+            ),
+        )
+        .withColumn("n_tok", F.count("*").over(Window.partitionBy("clip_id")))
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n_tok")
+        - F.expr(f"({tau_pct} * n_tok + 99) div 100")
+        + 1
+    ).select("clip_id", "h")
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "h")
+        .filter(F.col("a.clip_id") < F.col("b.clip_id"))
+        .select(
+            F.col("a.clip_id").alias("a_id"),
+            F.col("b.clip_id").alias("b_id"),
+        )
+        .distinct()
+    )
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared chain for the Jaccard contract queries: derived corpus ->
     poly-rolling shingle-hash SETS (the round-4 cheap base-hash family)
@@ -1184,37 +1226,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             eager=False,
         )
-        posts = hashed.select("clip_id", F.explode("hashes").alias("h"))
-        # global document frequency per token (the AQE planner picks a
-        # broadcast when the distinct-token table is small enough; at
-        # 100 TB it shuffles — both are the right plan at their scale)
-        df_counts = posts.groupBy("h").agg(F.count("*").alias("d"))
-        ranked = (
-            posts.join(df_counts, "h")
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("clip_id").orderBy("d", "h")
-                ),
-            )
-            .withColumn("n_tok", F.count("*").over(Window.partitionBy("clip_id")))
-        )
-        prefix = ranked.filter(
-            F.col("rn")
-            <= F.col("n_tok")
-            - F.expr(f"({PREFIX_TAU_PCT} * n_tok + 99) div 100")
-            + 1
-        ).select("clip_id", "h")
-        cand = (
-            prefix.alias("a")
-            .join(prefix.alias("b"), "h")
-            .filter(F.col("a.clip_id") < F.col("b.clip_id"))
-            .select(
-                F.col("a.clip_id").alias("a_id"),
-                F.col("b.clip_id").alias("b_id"),
-            )
-            .distinct()
-        )
+        cand = prefix_filter_candidates(hashed, PREFIX_TAU_PCT)
         ha = hashed.select(
             F.col("clip_id").alias("a_id"), F.col("hashes").alias("a_hashes")
         )

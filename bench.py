@@ -51,6 +51,12 @@ BENCH_QUERIES = [
     # O(n²) crossJoin — 54s at sf0.1 and a scale-killer; the brute
     # query remains the small-sf truth oracle only)
     "embedding_near_dup_lsh",
+    # exact-Jaccard family (VERDICT r4 #4: the one operator family with
+    # no timing data). dedup_rate_curve reuses the memoized pair frame
+    # ngram_jaccard_pairs builds, so keep them adjacent: the first
+    # timing is the PPJoin chain, the second the near-free re-aggregation
+    "ngram_jaccard_pairs",
+    "dedup_rate_curve",
 ]
 
 

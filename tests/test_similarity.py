@@ -130,3 +130,38 @@ def test_run_embedding_dedup_adapts_sizing_and_recall(spark):
     # the sizing rule must actually respond to n (r = ceil(log2 n)+slack
     # once above min_planes; b tracks r)
     assert (a["bands"], a["rows"]) != (b["bands"], b["rows"]), infos
+
+
+def test_run_embedding_dedup_empty_frame_with_explicit_dim(spark):
+    """ADVICE r4: n == 0 must early-return BEFORE lsh sizing even when
+    dim is passed explicitly (it used to run the full banded chain)."""
+    from addresses_importer_spark.operators.similarity import run_embedding_dedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    pairs, info = run_embedding_dedup(empty, dim=16)
+    assert pairs.count() == 0
+    assert info == {"n": 0, "dim": 16, "bands": 0, "rows": 0}
+
+
+def test_run_embedding_dedup_leading_null_embedding(spark):
+    """A NULL embedding in the first row must not crash the dim probe;
+    null rows simply pair with nothing."""
+    from addresses_importer_spark.operators.similarity import run_embedding_dedup
+
+    rows = [(0, None), (1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs, info = run_embedding_dedup(emb, threshold=0.9)
+    assert info["dim"] == 4 and info["n"] == 4
+    got = {(r.src_vec, r.dst_vec) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_run_embedding_dedup_all_null_embeddings(spark):
+    from addresses_importer_spark.operators.similarity import run_embedding_dedup
+
+    emb = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<float>"
+    )
+    pairs, info = run_embedding_dedup(emb)
+    assert pairs.count() == 0 and info["bands"] == 0
