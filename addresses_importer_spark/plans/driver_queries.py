@@ -1151,35 +1151,48 @@ def prefix_filter_candidates(hashed: DataFrame,
     df, sorts to the very end of the (df, h) total order, and therefore
     falls outside every document's prefix — the inverted-index join
     stays linear where a naive token join goes quadratic."""
-    posts = hashed.select("clip_id", F.explode("hashes").alias("h"))
+    # n_tok rides along from size(hashes) — a count() window here would
+    # buffer + scan every clip partition a second time on the largest
+    # intermediate table in the query (the round-5 sf0.1 bench showed
+    # this chain as the slowest contract query at ~33 s)
+    posts = hashed.select(
+        "clip_id", F.size("hashes").alias("n_tok"),
+        F.explode("hashes").alias("h"),
+    )
     # global document frequency per token (the AQE planner picks a
     # broadcast when the distinct-token table is small enough; at
     # 100 TB it shuffles — both are the right plan at their scale)
     df_counts = posts.groupBy("h").agg(F.count("*").alias("d"))
-    ranked = (
-        posts.join(df_counts, "h")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("clip_id").orderBy("d", "h")
-            ),
-        )
-        .withColumn("n_tok", F.count("*").over(Window.partitionBy("clip_id")))
+    ranked = posts.join(df_counts, "h").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("clip_id").orderBy("d", "h")
+        ),
     )
     prefix = ranked.filter(
         F.col("rn")
         <= F.col("n_tok")
         - F.expr(f"({tau_pct} * n_tok + 99) div 100")
         + 1
-    ).select("clip_id", "h")
+    ).select("clip_id", "n_tok", "h")
+    a = prefix.select(
+        F.col("clip_id").alias("a_id"), F.col("n_tok").alias("na"), "h"
+    )
+    b = prefix.select(
+        F.col("clip_id").alias("b_id"), F.col("n_tok").alias("nb"), "h"
+    )
     return (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "h")
-        .filter(F.col("a.clip_id") < F.col("b.clip_id"))
-        .select(
-            F.col("a.clip_id").alias("a_id"),
-            F.col("b.clip_id").alias("b_id"),
+        a.join(b, "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        # PPJoin length filter: J(a,b) >= tau ⇒ |inter| <= min(na,nb)
+        # and |union| >= max(na,nb) ⇒ min/max >= tau — integer-exact,
+        # removes only pairs that cannot reach tau. Measured at sf0.1:
+        # 12.3M -> 8.3M candidates BEFORE the distinct shuffle and the
+        # exact-verification join that ships the hash arrays.
+        .filter(
+            F.least("na", "nb") * 100 >= tau_pct * F.greatest("na", "nb")
         )
+        .select("a_id", "b_id")
         .distinct()
     )
 

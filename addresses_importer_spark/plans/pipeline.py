@@ -43,6 +43,20 @@ STAGES = [
     "verified_edges", "components", "losers", "survivors",
 ]
 
+#: the pipeline doubles the session's shuffle partitions (2/core ->
+#: 4/core) for its own stages when the DOUBLED grain still leaves at
+#: least this many input rows per partition. The dedup aggs (bucket
+#: groupBy, shingle-df pre-pass) carry Zipfian key skew and AQE splits
+#: skew only in JOINS, so finer agg partitions smooth stragglers —
+#: measured +21% at 390k clips / 8 cores = 12k rows/partition after
+#: doubling (252 -> 208 s, survivors byte-identical). When doubling
+#: would drop below this floor the finer grain is pure scheduling tax:
+#: the round-5 sf0.1 A/B (104k clips / 32 cores = 810 rows/partition
+#: doubled, 3 interleaved reps per setting) measured flat 4/core at
+#: -27% total (94.5 -> 120.1 s, lsh_candidates 2.3x slower). Density,
+#: not raw row count, is the criterion both measurements agree on.
+MIN_ROWS_PER_SHUFFLE_PARTITION = 3000
+
 
 @dataclass
 class PipelineResult:
@@ -114,6 +128,32 @@ def run_pipeline(
             metrics[f"sec:{res.stage}:{phase}"] = sec
         return res.df
 
+    # scale-aware shuffle sizing (round-5 A/B; see
+    # MIN_ROWS_PER_SHUFFLE_PARTITION): double the session's partitions
+    # for this run's stages iff the doubled grain keeps enough rows per
+    # partition. count() on a parquet source is footer-metadata only;
+    # the conf is restored in the finally below, so the session the
+    # caller handed in is not permanently re-tuned.
+    _shuffle_key = "spark.sql.shuffle.partitions"
+    _p0 = int(spark.conf.get(_shuffle_key))
+    n_input = clips.count()
+    _p = _p0 * 2 if n_input >= MIN_ROWS_PER_SHUFFLE_PARTITION * _p0 * 2 else _p0
+    metrics["shuffle_partitions"] = _p
+    metrics["rows:input"] = n_input
+    if _p != _p0:
+        spark.conf.set(_shuffle_key, str(_p))
+    try:
+        return _run_stages(
+            spark, clips, cfg, store, checkpoint_dir, detectors,
+            with_audio, input_fp, track, metrics, resumed,
+        )
+    finally:
+        if _p != _p0:
+            spark.conf.set(_shuffle_key, str(_p0))
+
+
+def _run_stages(spark, clips, cfg, store, checkpoint_dir, detectors,
+                with_audio, input_fp, track, metrics, resumed) -> PipelineResult:
     # ONE pass over the payload bytes: features + the ingest validity
     # flag come from the same scan (a separate errors pass would read
     # the whole corpus twice; at 100 TB that is the most expensive scan

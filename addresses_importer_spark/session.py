@@ -24,14 +24,19 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     if shuffle_partitions is None:
-        # 4 partitions per core, not 2: the dedup aggs (bucket groupBy,
-        # shingle-df pre-pass) have Zipfian key skew, and AQE splits
-        # skew only in JOINS — finer-grained agg partitions smooth the
-        # stragglers instead. Measured at 390k clips / 8 cores: total
-        # wall 252 s -> 208 s (signatures 108 -> 81 s, candidates
-        # 31 -> 21 s), survivors byte-identical; the floor of 8 keeps
-        # tiny-core runs unchanged.
-        mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "4"))
+        # 2 partitions per core as the SESSION default. Round 4 set 4
+        # here after a 390k-clip win (agg-skew smoothing: AQE splits
+        # skew only in JOINS), but the round-5 A/B at sf0.1 / local[32]
+        # (3 interleaved reps per setting, same session config)
+        # measured the flat 4/core as a pure small-data tax: total
+        # 94.5 s -> 120.1 s median, lsh_candidates 3.7 -> 8.4 s,
+        # pipeline_full 36.8 -> 45.7 s — scheduling overhead, with AQE
+        # coalescing unable to undo the finer aggregation partitions.
+        # The 390k win is kept where it was earned: run_pipeline
+        # doubles the setting at runtime when the INPUT clears
+        # SHUFFLE_UPSHIFT_ROWS (plans/pipeline.py), so big jobs get
+        # 4/core and everything else keeps 2/core.
+        mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "2"))
         shuffle_partitions = max(mult * cores, 8)
 
     builder = (
