@@ -9,6 +9,7 @@ spark-submit would.
 
 Usage:
     python bench_scaling.py                 # full protocol -> BENCH.md
+    python bench_scaling.py --resume        # continue from SCALING.json's reps
     python bench_scaling.py --one N         # one measurement (internal)
 """
 
@@ -122,10 +123,32 @@ def ensure_corpus() -> None:
     spark.stop()
 
 
+def load_existing() -> list[dict]:
+    """Reps already recorded by a previous (crashed / budget-killed) run
+    of THIS protocol version. Resume exists because each rep costs ~35
+    min of legs; losing a valid rep to a session crash (round 5: the
+    harness died mid-rep1 and took the tmux server with it) must not
+    discard rep0. Only reps with the ABBA `runs` lists are loadable —
+    pre-ABBA formats are a different protocol and are never mixed in."""
+    if not os.path.exists("SCALING.json"):
+        return []
+    with open("SCALING.json") as f:
+        reps = json.load(f).get("reps", [])
+    ok = []
+    for r in reps:
+        legs = r.get("legs", {})
+        if r.get("skipped_gate") or all(
+            isinstance(leg, dict) and "runs" in leg for leg in legs.values()
+        ):
+            ok.append(r)
+    return ok
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         run_one(int(sys.argv[2]))
         return
+    resume = "--resume" in sys.argv[1:]
 
     ensure_corpus()
     # The sandbox VM's deliverable throughput swings +-40% minute to
@@ -170,7 +193,11 @@ def main() -> None:
         return gate <= c <= gate_hi
 
     lo, hi = CORES
-    all_reps: list[dict] = []
+    all_reps: list[dict] = load_existing() if resume else []
+    if all_reps:
+        print(f"resuming: {len(all_reps)} recorded reps "
+              f"({sum(r['valid'] for r in all_reps)} valid) loaded from "
+              f"SCALING.json")
 
     def write_snapshot() -> None:
         """Summarize + persist after EVERY rep: a wall-clock budget or
@@ -182,7 +209,9 @@ def main() -> None:
             with open("SCALING.json", "w") as f:
                 json.dump({"reps": all_reps, "summary": summary}, f, indent=2)
 
-    attempt = 0
+    # resumed reps spend attempt budget too: the stopping rule is about
+    # total protocol cost, not cost-since-last-crash
+    attempt = len(all_reps)
     while sum(r["valid"] for r in all_reps) < reps and attempt < max_attempts:
         r = attempt
         attempt += 1

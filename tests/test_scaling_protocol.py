@@ -56,6 +56,26 @@ def test_invalid_reps_never_enter_the_median():
     assert len(s["invalid_reps"]) == 2
 
 
+def test_resume_round_trips_recorded_reps(tmp_path, monkeypatch):
+    """--resume must reload exactly the reps a crashed run persisted
+    (ABBA format and gate-skips) and drop pre-ABBA-format reps, so a
+    harness crash mid-protocol never discards a completed valid rep."""
+    import json
+
+    skipped = {"legs": {}, "hw_control_before": 0.4, "hw_control_after": None,
+               "efficiency": None, "valid": False, "skipped_gate": True}
+    pre_abba = {"legs": {"2": {"cores": 2, "clips_per_sec": 100.0}},
+                "efficiency": 0.7, "valid": True}  # no runs list
+    good = _rep(0.74, True)
+    monkeypatch.chdir(tmp_path)
+    assert BS.load_existing() == []  # no SCALING.json yet
+    with open("SCALING.json", "w") as f:
+        json.dump({"reps": [good, skipped, pre_abba], "summary": {}}, f)
+    loaded = BS.load_existing()
+    assert [r.get("efficiency") for r in loaded] == [0.74, None]
+    assert sum(r["valid"] for r in loaded) == 1
+
+
 def test_gate_skipped_reps_summarize_to_none():
     reps = [{"legs": {}, "hw_control_before": 0.4, "hw_control_after": None,
              "efficiency": None, "valid": False, "skipped_gate": True}]
