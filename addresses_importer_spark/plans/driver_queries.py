@@ -1174,14 +1174,16 @@ def prefix_filter_candidates(hashed: DataFrame,
         <= F.col("n_tok")
         - F.expr(f"({tau_pct} * n_tok + 99) div 100")
         + 1
-    ).select("clip_id", "n_tok", "h")
+    ).select("clip_id", "n_tok", "h", "rn")
     a = prefix.select(
-        F.col("clip_id").alias("a_id"), F.col("n_tok").alias("na"), "h"
+        F.col("clip_id").alias("a_id"), F.col("n_tok").alias("na"),
+        "h", F.col("rn").alias("ra"),
     )
     b = prefix.select(
-        F.col("clip_id").alias("b_id"), F.col("n_tok").alias("nb"), "h"
+        F.col("clip_id").alias("b_id"), F.col("n_tok").alias("nb"),
+        "h", F.col("rn").alias("rb"),
     )
-    return (
+    matched = (
         a.join(b, "h")
         .filter(F.col("a_id") < F.col("b_id"))
         # PPJoin length filter: J(a,b) >= tau ⇒ |inter| <= min(na,nb)
@@ -1192,8 +1194,34 @@ def prefix_filter_candidates(hashed: DataFrame,
         .filter(
             F.least("na", "nb") * 100 >= tau_pct * F.greatest("na", "nb")
         )
+    )
+    # PPJoin positional filter (Xiao et al., WWW'08), set-oriented form.
+    # Both docs list tokens in the SAME global (df, h) order, so
+    # "position > i in a" ⟺ "globally greater than a's token i" ⟺
+    # "position > j in b" for the matching token. Hence with k = number
+    # of tokens common to both prefixes and (ia, jb) the positions of
+    # the globally-largest such token, every remaining common token
+    # ranks after BOTH, giving the exact upper bound
+    #   |inter| <= k + min(na - ia, nb - jb).
+    # J >= tau ⇔ |inter|*(100+tau_pct) >= tau_pct*(na+nb) (integer-
+    # exact), so pairs whose BOUND misses tau can never verify — the
+    # groupBy replaces the old distinct (same shuffle key, map-side
+    # combinable) and prunes before the verification join ships the
+    # hash arrays.
+    return (
+        matched.groupBy("a_id", "b_id", "na", "nb")
+        .agg(
+            F.count("*").alias("k"),
+            F.max("ra").alias("ia"),
+            F.max("rb").alias("jb"),
+        )
+        .filter(
+            (F.col("k")
+             + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")))
+            * (100 + tau_pct)
+            >= tau_pct * (F.col("na") + F.col("nb"))
+        )
         .select("a_id", "b_id")
-        .distinct()
     )
 
 

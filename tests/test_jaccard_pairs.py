@@ -108,3 +108,39 @@ def test_zipfian_stop_token_keeps_candidate_volume_linear(spark):
     # the stop token generated zero of the C(410,2) ~ 84k naive pairs
     assert {tuple(sorted(p)) for p in got} == {tuple(sorted(p))
                                                for p in expected}
+
+
+def test_positional_filter_prunes_cannot_reach_tau(spark):
+    """PPJoin positional filter (round 5): two docs can share a prefix
+    token yet be provably unable to reach tau — the bound
+    k + min(na-ia, nb-jb) must prune them BEFORE the verification join,
+    while a borderline pair exactly AT tau must survive (the filter is
+    lossless at tau by construction)."""
+    from addresses_importer_spark.plans.driver_queries import (
+        prefix_filter_candidates,
+    )
+
+    rows = [
+        # positional-only prune: x and y share exactly ONE token (9500),
+        # sorted to the LAST slot of both 4-token prefixes (n=6, prefix
+        # = 6 - 3 + 1 = 4; the fillers below give every other token
+        # df=2 so (df, h) ordering is decided by h and 9500 lands at
+        # rn=4). k=1, ia=jb=4 -> ub = 1 + min(2, 2) = 3, and
+        # 3*(100+50) = 450 < 50*(6+6) = 600: cannot reach tau, pruned.
+        # The length filter alone passes it (6/6 >= 0.5), so only the
+        # positional bound can remove it.
+        ("x", [210, 211, 212, 9500, 9601, 9602]),
+        ("y", [220, 221, 222, 9500, 9603, 9604]),
+        ("f1", [210, 211, 212, 9601, 9602, 310]),
+        ("f2", [220, 221, 222, 9603, 9604, 311]),
+        # borderline: J = 10/(15+15-10) = 0.5 exactly — k=3 prefix
+        # matches at ia=jb=8, ub = 3 + min(7, 7) = 10, and
+        # 10*150 = 1500 >= 50*30 = 1500: must survive (lossless at tau)
+        ("p", [10 + k for k in range(10)] + [8000 + k for k in range(5)]),
+        ("q", [10 + k for k in range(10)] + [8100 + k for k in range(5)]),
+    ]
+    hashed = spark.createDataFrame(rows, "clip_id string, hashes array<bigint>")
+    got = {tuple(sorted((r.a_id, r.b_id)))
+           for r in prefix_filter_candidates(hashed, tau_pct=50).collect()}
+    assert ("p", "q") in got
+    assert ("x", "y") not in got
