@@ -76,14 +76,27 @@ def poly_hashes_from_codes_sql(codes_expr: str, width: int) -> str:
     inside ArrayTransform inside a GeneratedClass SpecificPredicate).
     With the binding, any inlining costs at most one extra LINEAR
     evaluation of the whole fold.
+
+    UNROLLED window (round 6): higher-order functions (transform /
+    aggregate) are evaluated INTERPRETED — they never enter whole-stage
+    codegen — so the per-window ``aggregate(slice(cs, i, w), ...)``
+    paid a slice allocation plus w boxed lambda steps per window. The
+    window hash is instead emitted as one unrolled multiply-add
+    expression over 0-based subscripts (``cs[i]`` .. ``cs[i+w-1]``)
+    with the SAME mod applied at every step, so the value sequence is
+    bit-identical (acc < 2^31, acc*131 + code < 2^39 — no overflow).
+    Measured 4x on the sf0.1 feature corpus (1.49 s -> 0.36 s at w=8,
+    1.33 s -> 0.41 s at w=16, 26k rows / 32 cores, zero mismatches vs
+    the fold form).
     """
-    fold = (f"aggregate(slice(cs, i, {width}), cast(0 as bigint), "
-            f"(acc, c) -> (acc * {POLY_BASE} + c) % {POLY_MOD})")
+    window = "cast(0 as bigint)"
+    for k in range(width):
+        window = f"(({window} * {POLY_BASE} + cs[i + {k}]) % {POLY_MOD})"
     return (
         f"transform(array({codes_expr}), cs -> "
         f"CASE WHEN size(cs) >= {width} THEN "
         f"array_distinct(transform("
-        f"sequence(1, size(cs) - {width} + 1), i -> {fold})) "
+        f"sequence(0, size(cs) - {width}), i -> {window})) "
         f"ELSE array() END)[0]"
     )
 
