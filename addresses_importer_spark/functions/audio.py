@@ -19,6 +19,7 @@ per-row Python rows.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -77,6 +78,24 @@ def mel_filterbank(n_mels: int, n_fft: int, sr_hz: int) -> np.ndarray:
     return fb
 
 
+@lru_cache(maxsize=64)
+def _mel_filterbank_cached(n_mels: int, n_fft: int, sr_hz: int) -> np.ndarray:
+    """Per-(n_mels, n_fft, sr) filterbank, computed once per worker.
+    Building it per clip was ~40% of the whole UDF (profiled at
+    0.12 s of a 0.30 s / 406-clip batch); sr takes a handful of values
+    so the cache is tiny. Marked read-only: callers only matmul it."""
+    fb = mel_filterbank(n_mels, n_fft, sr_hz)
+    fb.setflags(write=False)
+    return fb
+
+
+@lru_cache(maxsize=8)
+def _hanning_cached(frame_len: int) -> np.ndarray:
+    w = np.hanning(frame_len)
+    w.setflags(write=False)
+    return w
+
+
 def log_mel_features(samples: np.ndarray, sr_hz: int, n_mels: int,
                      frame_len: int, hop_len: int) -> np.ndarray:
     """Per-frame gain-invariant log-mel: log-energy with per-frame mean
@@ -87,9 +106,9 @@ def log_mel_features(samples: np.ndarray, sr_hz: int, n_mels: int,
         samples = np.pad(samples, (0, frame_len - len(samples)))
     n_frames = 1 + (len(samples) - frame_len) // hop_len
     idx = np.arange(frame_len)[None, :] + hop_len * np.arange(n_frames)[:, None]
-    frames = samples[idx] * np.hanning(frame_len)[None, :]
+    frames = samples[idx] * _hanning_cached(frame_len)[None, :]
     mag = np.abs(np.fft.rfft(frames, axis=1))
-    fb = mel_filterbank(n_mels, frame_len, sr_hz)
+    fb = _mel_filterbank_cached(n_mels, frame_len, sr_hz)
     mel = mag @ fb.T
     # adaptive floor at -30 dB of the clip's mean band energy: additive
     # noise at SNR >= 30 dB stays below the floor, so low-energy bands
@@ -128,11 +147,12 @@ def audio_simhash(samples: np.ndarray, sr_hz: int, planes: np.ndarray,
     feats = log_mel_features(samples, sr_hz, n_mels, frame_len, hop_len)
     pooled = np.diff(feats.mean(axis=0))
     bits = (planes @ pooled) > 0
-    val = 0
-    for i, b in enumerate(bits):
-        if b:
-            val |= 1 << i
-    return val
+    # bit i of the result = bits[i]; packbits(bitorder="little") lays the
+    # bools out exactly that way (the python `val |= 1 << i` loop it
+    # replaces, bit-identical)
+    return int.from_bytes(
+        np.packbits(bits, bitorder="little").tobytes(), "little"
+    )
 
 
 def to_int64(u: int) -> int:

@@ -1183,6 +1183,26 @@ def prefix_filter_candidates(hashed: DataFrame,
         F.col("clip_id").alias("b_id"), F.col("n_tok").alias("nb"),
         "h", F.col("rn").alias("rb"),
     )
+    # explicit, size-gated broadcast of the index side: one cheap agg
+    # over the (already materialized) hash frame gives the EXACT prefix
+    # row count — Spark's own estimate over checkpoint-backed frames is
+    # unusable, so left alone the planner may shuffle both sides by h
+    # and hand the fan-out back to byte-based coalescing. Up to ~3M
+    # prefix rows (~100 MB hashed) broadcasting keeps the probe-side
+    # partitioning pinned above; past that the shuffle join's input is
+    # large enough that size-targeted AQE gives sane parallelism anyway.
+    n_prefix_rows = hashed.agg(
+        F.sum(
+            F.greatest(
+                F.lit(0),
+                F.size("hashes")
+                - F.expr(f"({tau_pct} * size(hashes) + 99) div 100")
+                + 1,
+            )
+        )
+    ).first()[0] or 0
+    if n_prefix_rows <= 3_000_000:
+        b = F.broadcast(b)
     matched = (
         a.join(b, "h")
         .filter(F.col("a_id") < F.col("b_id"))
@@ -1274,6 +1294,14 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         hb = hashed.select(
             F.col("clip_id").alias("b_id"), F.col("hashes").alias("b_hashes")
         )
+        # explicit broadcast of the array side while it fits (~2 KB/doc
+        # -> 120 MB at 60k docs): the hash arrays then NEVER cross an
+        # Exchange — the candidate pairs stream through two map-side
+        # hash joins. Past the gate the planner's shuffle join takes
+        # over (at that scale the array side is GBs and sort-merge by
+        # id is the right plan anyway).
+        if hashed.count() <= 200_000:
+            ha, hb = F.broadcast(ha), F.broadcast(hb)
         # hash arrays shuffle only to the (volume-bounded) candidate
         # pairs, never all-pairs; n_inter projected once, reused for
         # n_union in a second projection so array_intersect evaluates

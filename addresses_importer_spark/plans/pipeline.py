@@ -142,12 +142,35 @@ def run_pipeline(
     metrics["rows:input"] = n_input
     if _p != _p0:
         spark.conf.set(_shuffle_key, str(_p))
+    # size-targeted AQE coalescing for the pipeline's own stages (round
+    # 6): the default parallelism-first behavior refuses to coalesce
+    # below defaultParallelism, so the 7 checkpointed stages ran dozens
+    # of near-empty reduce tasks over slim frames (losers, components,
+    # grouped buckets) — pure task-launch overhead, measured ~3 s of the
+    # sf0.1 pipeline wall. Unlike the ad-hoc contract chains (whose pair
+    # fan-out amplifies CPU far beyond its shuffle bytes — see
+    # session.py), the pipeline's stage outputs are checkpointed
+    # parquet, so bytes DO track downstream work and the size target is
+    # the right rule. The advisory is parameterised: production
+    # clusters should raise SPARK_GRAFT_ADVISORY_MB toward the guide's
+    # 64-256 MB once per-task work is seconds, not milliseconds.
+    import os as _os_env
+    _aqe_keys = {
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            _os_env.environ.get("SPARK_GRAFT_ADVISORY_MB", "8") + "m",
+    }
+    _aqe_old = {k: spark.conf.get(k) for k in _aqe_keys}
+    for k, v in _aqe_keys.items():
+        spark.conf.set(k, v)
     try:
         return _run_stages(
             spark, clips, cfg, store, checkpoint_dir, detectors,
             with_audio, input_fp, track, metrics, resumed,
         )
     finally:
+        for k, v in _aqe_old.items():
+            spark.conf.set(k, v)
         if _p != _p0:
             spark.conf.set(_shuffle_key, str(_p0))
 

@@ -48,6 +48,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE on AQE coalescing (round 6): a session-wide
+        # parallelismFirst=false + small advisory size was A/B'd here
+        # and REJECTED — it cut the checkpointed pipeline ~3 s (fewer
+        # near-empty reduce tasks across 7 stages) but serialized the
+        # amplification-shaped contract chains (prefix-join fan-out,
+        # per-row array math) whose shuffle bytes under-represent their
+        # CPU: ngram_jaccard_pairs went 13.6 s -> 35.7 s when its
+        # stages coalesced to a handful of few-MB partitions. The
+        # pipeline win is kept where it was earned: run_pipeline scopes
+        # size-targeted coalescing around its own stages
+        # (plans/pipeline.py), and the session keeps Spark's default
+        # parallelism-first behavior for ad-hoc queries.
         # Arrow batches for every pandas UDF (zero per-row Python).
         # 512 rows/batch: clips carry ~30KB audio payloads, so the
         # default 10k-row batches were ~330MB of Arrow per task — memory
