@@ -158,9 +158,26 @@ class DedupConfig:
         rounds 1-4 used md5-per-shingle). It participates in the hash
         so checkpoints written under one family can never silently
         resume under the other — same parameters, different values.
+        The tag is DERIVED from the live constants (ADVICE r5): a
+        hardcoded literal would leave config_hash unchanged if
+        POLY_BASE/POLY_MOD ever moved, silently resuming checkpoints
+        whose hash values no longer match — the exact failure this tag
+        exists to prevent.
         """
+        from .functions.hashing import POLY_BASE, POLY_MOD
+
         payload = json.dumps(
-            {**asdict(self), "_hash_family": "poly131"}, sort_keys=True
+            {
+                **asdict(self),
+                "_hash_family": f"poly{POLY_BASE}-{POLY_MOD}",
+                # round-6 signature layout: simhash bucket keys are
+                # bit-packed band values and probe flips are derived at
+                # candidate/probe time, not stored — checkpoints and
+                # prepared probe indexes written under the old md5-key
+                # 66-rows-per-clip layout must never be resumed
+                "_sig_layout": "simhash-bitkeys-v2",
+            },
+            sort_keys=True,
         )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 

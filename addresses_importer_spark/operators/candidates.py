@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, Row, functions as F
 
 from ..config import DedupConfig
 from ..functions.hashing import md5_long
-from .signatures import ROLE_BOTH, ROLE_QRY
+from .signatures import ROLE_BOTH, ROLE_QRY, simhash_probe_flips
 
 #: buckets up to this size expand pairs via a JVM array comprehension in
 #: one task row (<= ~2k structs); larger buckets go through a self-join
@@ -107,6 +107,18 @@ def _probe_hot_sides(sym_groups: DataFrame, oversize_idx: DataFrame,
     return by_side.get("sym", 0), by_side.get("idx", 0)
 
 
+def qry_signatures(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """QUERY-side keys for the asymmetric pairing: stored qry-role rows
+    (suffix rarest-shingle keys) plus the simhash 1-bit probe flips,
+    which since round 6 are DERIVED from the stored band keys by bit
+    math instead of being materialized through the signatures
+    checkpoint (32 rows per (clip, band) that only the probe join ever
+    read — see signatures.simhash_band_keys_sql)."""
+    return signatures.filter(F.col("role") == ROLE_QRY).unionByName(
+        simhash_probe_flips(signatures, cfg)
+    )
+
+
 def _oversize_stats(signatures: DataFrame, sym_groups: DataFrame,
                     oversize_idx: DataFrame, cfg: DedupConfig,
                     any_hot_sym: bool, any_hot_idx: bool) -> dict:
@@ -129,7 +141,7 @@ def _oversize_stats(signatures: DataFrame, sym_groups: DataFrame,
             sym_groups.filter(F.col("n") > cfg.bucket_cap).select("detector", "n")
         )
     if any_hot_idx:
-        probed = signatures.filter(F.col("role") == ROLE_QRY).select(
+        probed = qry_signatures(signatures, cfg).select(
             "detector", "bucket_key"
         ).distinct()
         parts.append(
@@ -268,7 +280,7 @@ def _asymmetric_pairs(signatures: DataFrame, oversize: DataFrame,
             .select(*join_keys, "salt", F.col("clip_id").alias(id_alias))
         )
 
-    qry = _side(signatures.filter(F.col("role") == ROLE_QRY), "qry_id")
+    qry = _side(qry_signatures(signatures, cfg), "qry_id")
     idx = _side(signatures.filter(F.col("role") != ROLE_QRY), "idx_id")
     on = join_keys + (["salt"] if any_hot else [])
     return (

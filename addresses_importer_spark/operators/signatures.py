@@ -27,7 +27,7 @@ from ..config import CODEC_PRIORITY, DedupConfig
 from ..functions import audio as A
 from ..functions.hashing import (
     band_keys, md5_long, minhash_signature, poly_codes_sql,
-    poly_hashes_from_codes_sql, spark_sql_md5_long,
+    poly_hashes_from_codes_sql,
 )
 from ..functions.text import normalize_text
 from .materialize import materialize
@@ -158,40 +158,71 @@ ROLE_IDX = "idx"     # index-side only (suffix postings)
 
 
 def simhash_band_keys_sql(cfg: DedupConfig, simhash_expr: str = "simhash") -> str:
-    """Spark SQL text: bit-slice the int64 SimHash into band values +
-    1-bit probe variants.
+    """Spark SQL text: bit-slice the int64 SimHash into band values —
+    SYMMETRIC (role=both) keys only, one per band.
 
     Plain banding (geohash-cell-blocking analog, dedupe.rs:11-16) only
     guarantees a shared key for Hamming < bands. Multi-probe (HmSearch
-    style) extends that: the original band value is emitted as a
-    symmetric key (role=both) and every single-bit flip as a QUERY-side
-    key (role=qry). A probe row pairs only against index rows, so a
+    style) extends that: every single-bit flip of a band value is a
+    QUERY-side key (role=qry) that pairs only against index rows, so a
     pair within Hamming <= 2*bands - 1 is guaranteed (pigeonhole: some
     band differs by <= 1 bit, and the 1-flip probe hits the other
     side's original), while probe×probe collisions never block. 32-bit
     slices keep the per-random-pair blocking FP rate ~1.5e-8 (see
     config.simhash_bands).
 
-    Emitted as one SQL string — the Column-API version of this
-    2×33-entry struct array cost seconds of py4j round-trips per plan."""
+    ROUND-6 LAYOUT: the flip rows are NO LONGER emitted here. The
+    bucket key is the raw band value bit-packed with its band id
+    (``(band << width) | value`` — injective, and joins always include
+    ``detector`` so no cross-detector collision is possible), which
+    makes every 1-bit flip derivable from the stored key by one XOR
+    (``simhash_probe_flips_sql``). Candidate generation and the
+    streaming probe derive the 32-per-band flip rows on the fly, so
+    the signatures checkpoint stores 2 simhash rows per clip instead
+    of 66 (at sf0.1 that was 1.66M of the stage's 2.18M rows) and the
+    33 md5-of-string key hashes per (clip, band) become pure bit math.
+    The post-verify edge set is IDENTICAL: any pair within total
+    Hamming <= simhash_max_hamming = 2*bands - 1 still shares a
+    derived-flip/original key by the same pigeonhole, and the
+    flip×flip collisions the old layout also generated can only come
+    from pairs with >= 2 differing bits in EVERY band (>= 2*bands
+    total), which the Hamming verify always rejected."""
     width = cfg.simhash_bits // cfg.simhash_bands
     mask = (1 << width) - 1
     entries = []
     for b in range(cfg.simhash_bands):
         val = f"(shiftrightunsigned({simhash_expr}, {b * width}) & {mask})"
-        variants = [(val, ROLE_BOTH)] + [
-            (f"({val} ^ {1 << i})", ROLE_QRY)
-            for i in range(width)
-            if cfg.simhash_probe_bits >= 1
-        ]
-        for v, role in variants:
-            key_str = f"concat_ws('_', '{DETECTOR_SIMHASH}:{b}', cast({v} as string))"
-            entries.append(
-                f"named_struct('band', {b}, "
-                f"'bucket_key', {spark_sql_md5_long(key_str)}, "
-                f"'role', '{role}')"
-            )
+        key = f"(cast({b} as bigint) * {1 << width} + {val})"
+        entries.append(
+            f"named_struct('band', {b}, "
+            f"'bucket_key', {key}, "
+            f"'role', '{ROLE_BOTH}')"
+        )
     return "array(" + ", ".join(entries) + ")"
+
+
+def simhash_probe_flips(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Derive the 1-bit multi-probe QUERY rows from stored simhash
+    signature rows (see simhash_band_keys_sql: key = band<<width | value,
+    so flipping value bit i is ``bucket_key ^ (1 << i)``). Emitted only
+    when cfg.simhash_probe_bits == 1; map-side, never checkpointed."""
+    if cfg.simhash_probe_bits < 1:
+        return signatures.filter(F.lit(False))
+    width = cfg.simhash_bits // cfg.simhash_bands
+    return (
+        signatures.filter(F.col("detector") == DETECTOR_SIMHASH)
+        .select(
+            "clip_id", "detector", "band",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {width - 1}), "
+                    f"i -> bucket_key ^ shiftleft(1L, i))"
+                )
+            ).alias("bucket_key"),
+            F.lit(ROLE_QRY).alias("role"),
+        )
+        .select("clip_id", "detector", "band", "bucket_key", "role")
+    )
 
 
 def suffix_signatures(features: DataFrame, cfg: DedupConfig) -> DataFrame:

@@ -52,6 +52,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..config import DedupConfig
 from ..operators.signatures import (
     DETECTOR_MINHASH, DETECTOR_SIMHASH, build_features, build_signatures,
+    simhash_probe_flips,
 )
 from ..operators.verify import verify_edges
 from .ingest import read_clip_stream
@@ -98,6 +99,12 @@ def prepare_probe_index(spark: SparkSession, index_features_path: str,
     or recompacting the source features checkpoint after preparation
     cannot affect (or recompute inside) a running probe; restart the
     query with a fresh prepare to pick up a new index.
+
+    ``index_dir`` must be a driver-reachable filesystem path (local,
+    NFS, FUSE): the stats JSON below is written with plain open(), like
+    the checkpoint manifests (sources/checkpoint.py documents the same
+    contract). Bare hdfs://-style URIs would fail here after the
+    expensive banding already ran (ADVICE r5).
     """
     index_full = spark.read.parquet(index_features_path)
     if "error_kind" in index_full.columns:
@@ -193,9 +200,18 @@ def probe_edges(batch_clips: DataFrame, index_feats: DataFrame,
             F.lit(1.0).alias("score"),
         )
     )
-    sigs_b = build_signatures(
+    # batch side = stored keys PLUS the derived simhash 1-bit probe
+    # flips (round 6: flips are no longer materialized signature rows —
+    # signatures.simhash_band_keys_sql). The flips live on the BATCH
+    # side only, matching the batch pipeline's asymmetric design: a
+    # flip hitting an index original covers any band within Hamming 1,
+    # so the post-verify edge set is unchanged (the old index's stored
+    # flip rows added only flip×flip collisions, which need >= 2
+    # differing bits in every band and therefore never verified).
+    sigs_raw = build_signatures(
         feats_b, cfg, detectors=(DETECTOR_MINHASH, DETECTOR_SIMHASH)
-    ).select(
+    )
+    sigs_b = sigs_raw.unionByName(simhash_probe_flips(sigs_raw, cfg)).select(
         F.col("clip_id").alias("probe_id"), "detector", "band", "bucket_key",
         _bk_mod().alias("bk_mod"),
     )
