@@ -1269,8 +1269,18 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         corpus = corpus_df(spark, sf_dir)
+        # run the WHOLE chain on long ids: this corpus's clip_ids are
+        # 9-char zero-padded digit strings (corpus_df), so the cast is
+        # injective and numeric order == lexicographic order — the
+        # a < b pair orientation is unchanged. Long keys make the pair
+        # aggregation fixed-width (UnsafeFixedWidthAggregationMap — the
+        # robust spill path; the string-keyed agg over the billions of
+        # matched rows at sf1.0 died of heap OOM) and halve the
+        # hash/compare cost of the join and agg at every scale. The
+        # padded strings are restored in one projection at the end.
         normed = corpus.select(
-            "clip_id", normalize_text(F.col("transcript")).alias("norm")
+            F.col("clip_id").cast("long").alias("clip_id"),
+            normalize_text(F.col("transcript")).alias("norm"),
         )
         # three-step projection (doc_fingerprint lesson): codes and
         # hashes are each multi-referenced; inlined, Catalyst would
@@ -1294,13 +1304,19 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         hb = hashed.select(
             F.col("clip_id").alias("b_id"), F.col("hashes").alias("b_hashes")
         )
-        # explicit broadcast of the array side while it fits (~2 KB/doc
-        # -> 120 MB at 60k docs): the hash arrays then NEVER cross an
-        # Exchange — the candidate pairs stream through two map-side
-        # hash joins. Past the gate the planner's shuffle join takes
-        # over (at that scale the array side is GBs and sort-merge by
-        # id is the right plan anyway).
-        if hashed.count() <= 200_000:
+        # explicit broadcast of the array side while it fits: the hash
+        # arrays then NEVER cross an Exchange — the candidate pairs
+        # stream through two map-side hash joins. The gate is on EXACT
+        # total array bytes (one cheap agg over the cached frame), not
+        # row count: a row-count gate at sf1.0 (60k docs x ~261 tokens)
+        # built two ~500 MB hashed relations and OOM'd the heap under
+        # the pair-agg's concurrent memory (observed: TorrentBroadcast
+        # readBroadcastBlock OOM). 4M int64 tokens ~= 32 MB raw per
+        # relation; past the gate the planner's shuffle join takes over
+        # (at that scale the array side is large enough that sort-merge
+        # by id is the right plan anyway).
+        total_tokens = hashed.agg(F.sum(F.size("hashes"))).first()[0] or 0
+        if total_tokens <= 4_000_000:
             ha, hb = F.broadcast(ha), F.broadcast(hb)
         # hash arrays shuffle only to the (volume-bounded) candidate
         # pairs, never all-pairs; n_inter projected once, reused for
@@ -1317,7 +1333,9 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         pairs = sized.select(
-            "a_id", "b_id", "n_inter",
+            F.lpad(F.col("a_id").cast("string"), 9, "0").alias("a_id"),
+            F.lpad(F.col("b_id").cast("string"), 9, "0").alias("b_id"),
+            "n_inter",
             (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
         )
         return materialize(pairs, eager=False)

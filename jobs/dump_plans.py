@@ -1,0 +1,50 @@
+"""Dump .explain('formatted') for declared queries to files (judge
+deliverable: plans/r06/<query>_{before,after}.txt).
+
+Usage: python jobs/dump_plans.py <out_dir> <suffix> [query ...]
+Runs from the repo root on sys.path[0]'s tree — run it from a git
+worktree of the round-start commit for the _before set.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from addresses_importer_spark.plans import driver_queries as DQ  # noqa: E402
+from addresses_importer_spark.session import get_spark  # noqa: E402
+
+DEFAULT_QUERIES = [
+    "minhash_signatures", "lsh_candidates", "verified_pairs",
+    "suffix_verified", "doc_fingerprint", "ngram_jaccard_pairs",
+    "dedup_rate_curve", "embedding_near_dup_lsh", "dedup_survivors",
+]
+
+
+def main() -> None:
+    out_dir, suffix = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:] or DEFAULT_QUERIES
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="dump_plans", cores=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count())
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        df = DQ.QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(buf.getvalue())
+        print(f"wrote {path}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
