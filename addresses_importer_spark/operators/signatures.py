@@ -269,14 +269,17 @@ def suffix_signatures(features: DataFrame, cfg: DedupConfig) -> DataFrame:
     # re-reads replicated blocks instead of recomputing the shingle
     # chain (VERDICT r3 #3; same strategy as components.py).
     posts = materialize(posts, eager=False)
-    df_counts = posts.groupBy("h").agg(F.count("*").alias("df"))
-    # arg-min via min(struct(df, h)): lexicographic struct ordering ==
-    # the (df, h) sort, but with map-side partial aggregation — a
-    # row_number window here forced a full sort-shuffle of the postings
-    # table (the largest table in the job) where the agg ships one
-    # struct per (partition, clip)
+    # document frequency via count() OVER (PARTITION BY h): ONE exchange
+    # of the postings table (by h) instead of the groupBy+join form's
+    # separate df aggregation plus join build — interleaved A/B at 26k
+    # clips / 4M postings: 2.6-3.2 s vs 4.2-5.7 s warm, values
+    # bit-identical. arg-min stays min(struct(df, h)): lexicographic
+    # struct ordering == the (df, h) sort with map-side partial
+    # aggregation — a row_number window per clip here forced a second
+    # full sort of the postings where the agg ships one struct per
+    # (partition, clip).
     rarest = (
-        posts.join(df_counts, "h")
+        posts.withColumn("df", F.count("*").over(Window.partitionBy("h")))
         .groupBy("clip_id")
         .agg(F.min(F.struct("df", "h")).alias("m"))
         .select("clip_id", F.col("m.h").alias("h"))

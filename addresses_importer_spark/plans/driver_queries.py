@@ -1159,11 +1159,14 @@ def prefix_filter_candidates(hashed: DataFrame,
         "clip_id", F.size("hashes").alias("n_tok"),
         F.explode("hashes").alias("h"),
     )
-    # global document frequency per token (the AQE planner picks a
-    # broadcast when the distinct-token table is small enough; at
-    # 100 TB it shuffles — both are the right plan at their scale)
-    df_counts = posts.groupBy("h").agg(F.count("*").alias("d"))
-    ranked = posts.join(df_counts, "h").withColumn(
+    # global document frequency via count() OVER (PARTITION BY h): one
+    # exchange of the postings by h, replacing the groupBy+join form
+    # (measured ~40% faster on the suffix chain's identical pattern —
+    # operators/signatures.py round 6); the row_number window then
+    # re-shuffles by clip_id as before
+    ranked = posts.withColumn(
+        "d", F.count("*").over(Window.partitionBy("h"))
+    ).withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("clip_id").orderBy("d", "h")
