@@ -16,8 +16,21 @@ from contextlib import redirect_stdout
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from addresses_importer_spark.operators import components as _components  # noqa: E402
+from addresses_importer_spark.operators import signatures as _signatures  # noqa: E402
 from addresses_importer_spark.plans import driver_queries as DQ  # noqa: E402
 from addresses_importer_spark.session import get_spark  # noqa: E402
+
+# show FULL lineage: the contract chain cuts lineage with
+# localCheckpoint (materialize) at several links, which makes
+# .explain() stop at an ExistingRDD scan and hide the part of the plan
+# the optimization claims are about. Identity-patching materialize in
+# every consuming module keeps the whole logical chain in one plan
+# (plans dumped here are for READING; bench.py still runs the real
+# materialized chain).
+for _mod in (_signatures, _components, DQ):
+    if hasattr(_mod, "materialize"):
+        _mod.materialize = lambda df, eager=True: df
 
 DEFAULT_QUERIES = [
     "minhash_signatures", "lsh_candidates", "verified_pairs",
