@@ -179,48 +179,29 @@ def ann_near_dup_pairs_banded(emb: DataFrame,
     The bucket join shuffles only (id, band, bucket) int rows; the two
     verify joins move each embedding once per matched pair side.
 
-    ROUND-6 bucket computation: the planes ride in a broadcast
-    DataFrame and the dot product is ONE generic expression, instead of
-    a generated SQL string inlining bands x rows x dim double literals
-    (~450 KB of text for 9x11x64) that cost ~2 s of single-threaded
-    driver parse/analysis per plan. Bit parity is preserved exactly:
-    the per-plane dot is the same zip_with/aggregate left-assoc IEEE
-    fold from 0.0 (plane doubles round-trip exactly through
-    createDataFrame), and the per-band bucket sums DISJOINT powers of
-    two (bit i set iff dot_i > 0), so integer addition order cannot
-    change the value."""
-    spark = emb.sparkSession
-    plane_rows = [
-        (b, i, [float(w) for w in plane])
-        for b, planes in enumerate(planes_by_band)
-        for i, plane in enumerate(planes)
-    ]
-    planes_df = spark.createDataFrame(
-        plane_rows, "band int, i int, plane array<double>"
-    )
-    # the dot stays the zip_with/aggregate left-assoc fold — an
-    # unrolled 64-term subscript chain was A/B'd and LOST (4.0-4.6 s vs
-    # 2.7 s warm at 2500 vectors x 99 planes: 128 ANSI-checked
-    # GetArrayItems per row cost more than the interpreted fold), and
-    # the fold is the exact IEEE order the DuckDB oracle's unrolled sum
-    # reproduces.
-    dot = F.expr(
-        "aggregate(zip_with(embedding, plane, (x, y) -> x * y), "
-        "0.0e0, (acc, v) -> acc + v)"
-    )
-    bucketed = (
-        emb.select(id_col, "embedding")
-        .crossJoin(F.broadcast(planes_df))
-        .select(id_col, "band", "i", dot.alias("dot"))
-        .select(
-            id_col, "band",
-            F.expr(
-                "CASE WHEN dot > 0.0e0 THEN shiftleft(1L, i) ELSE 0L END"
-            ).alias("bit"),
-        )
-        .groupBy(id_col, "band")
-        .agg(F.sum("bit").alias("bucket"))
-    )
+    ROUND-6 note: two restructurings of the bucket computation were
+    A/B'd against this literal-SQL projection and REJECTED on bench
+    evidence — (a) planes in a broadcast DataFrame + crossJoin + one
+    generic dot (tiny plan, but the 99x row blowup plus an extra
+    groupBy shuffle cost more than the literal plan's parse:
+    3.4 s -> 5.1 s for the contract query), and (b) an unrolled
+    64-term subscript dot (128 ANSI-checked GetArrayItems per row lost
+    to the interpreted fold, 4.0-4.6 s vs 2.7 s warm). What stayed is
+    the `base` persist below.
+
+    The slim (id, embedding) projection is materialized ONCE: the
+    bucket projection reads it and the two verify joins read it twice
+    more — against a live plan (e.g. the derived perturbed-copy
+    corpus) every reference re-evaluated the embedding transform.
+    Registered in handles_out for the caller to release with the
+    bucket cache."""
+    base = emb.select(id_col, "embedding").persist()
+    if handles_out is not None:
+        handles_out.append(base)
+    bucketed = base.select(
+        F.col(id_col),
+        F.explode(F.expr(banded_bucket_structs_sql("embedding", planes_by_band))).alias("e"),
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
     # lineage cut: the bucket projection is a ~b*r*dim-node expression
     # tree; self-joining it unmaterialized duplicates that tree into
     # both join sides and the broadcast/codegen build OOMs the driver
@@ -243,8 +224,8 @@ def ann_near_dup_pairs_banded(emb: DataFrame,
         .select("src_vec", "dst_vec")
         .dropDuplicates(["src_vec", "dst_vec"])
     )
-    ea = emb.select(F.col(id_col).alias("src_vec"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col(id_col).alias("dst_vec"), F.col("embedding").alias("eb"))
+    ea = base.select(F.col(id_col).alias("src_vec"), F.col("embedding").alias("ea"))
+    eb = base.select(F.col(id_col).alias("dst_vec"), F.col("embedding").alias("eb"))
     sim = cosine_expr(F.col("ea"), F.col("eb"))
     return (
         cands.join(ea, "src_vec").join(eb, "dst_vec")
