@@ -37,7 +37,9 @@ from pyspark.sql import DataFrame, Row, functions as F
 
 from ..config import DedupConfig
 from ..functions.hashing import md5_long
-from .signatures import ROLE_BOTH, ROLE_QRY, simhash_probe_flips
+from .signatures import (
+    DETECTOR_SIMHASH, ROLE_BOTH, ROLE_QRY, simhash_probe_flips,
+)
 
 #: buckets up to this size expand pairs via a JVM array comprehension in
 #: one task row (<= ~2k structs); larger buckets go through a self-join
@@ -280,8 +282,32 @@ def _asymmetric_pairs(signatures: DataFrame, oversize: DataFrame,
             .select(*join_keys, "salt", F.col("clip_id").alias(id_alias))
         )
 
-    qry = _side(qry_signatures(signatures, cfg), "qry_id")
-    idx = _side(signatures.filter(F.col("role") != ROLE_QRY), "idx_id")
+    qry_sigs = qry_signatures(signatures, cfg)
+    # the equi-join keys on (detector, bucket_key), so index rows of
+    # detectors that never emit a query-role key (minhash: role=both
+    # only — its pairs come from the symmetric path) can never match;
+    # dropping them map-side keeps ~half the index rows out of the join
+    # shuffle (416k of 468k+postings at sf0.1; 10x that at sf1.0). The
+    # probed-detector set is data-driven: distinct detectors of STORED
+    # qry rows (a 1-2 row broadcast) plus simhash when probe flips are
+    # derived (qry_signatures).
+    qry_dets = (
+        signatures.filter(F.col("role") == ROLE_QRY)
+        .select("detector").distinct()
+    )
+    if cfg.simhash_probe_bits >= 1:
+        qry_dets = qry_dets.unionByName(
+            signatures.sparkSession.createDataFrame(
+                [(DETECTOR_SIMHASH,)], "detector string"
+            )
+        ).distinct()
+    qry = _side(qry_sigs, "qry_id")
+    idx = _side(
+        signatures.filter(F.col("role") != ROLE_QRY).join(
+            F.broadcast(qry_dets), "detector", "left_semi"
+        ),
+        "idx_id",
+    )
     on = join_keys + (["salt"] if any_hot else [])
     return (
         qry.join(idx, on)
