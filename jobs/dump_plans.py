@@ -21,16 +21,18 @@ from addresses_importer_spark.operators import signatures as _signatures  # noqa
 from addresses_importer_spark.plans import driver_queries as DQ  # noqa: E402
 from addresses_importer_spark.session import get_spark  # noqa: E402
 
-# show FULL lineage: the contract chain cuts lineage with
-# localCheckpoint (materialize) at several links, which makes
-# .explain() stop at an ExistingRDD scan and hide the part of the plan
-# the optimization claims are about. Identity-patching materialize in
-# every consuming module keeps the whole logical chain in one plan
-# (plans dumped here are for READING; bench.py still runs the real
-# materialized chain).
-for _mod in (_signatures, _components, DQ):
-    if hasattr(_mod, "materialize"):
-        _mod.materialize = lambda df, eager=True: df
+def _disable_materialize() -> None:
+    """Show FULL lineage: the contract chain cuts lineage with
+    localCheckpoint (materialize) at several links, which makes
+    .explain() stop at an ExistingRDD scan and hide the part of the
+    plan the optimization claims are about. Identity-patching
+    materialize in every consuming module keeps the whole logical
+    chain in one plan (plans dumped here are for READING; bench.py
+    still runs the real materialized chain). Called from main() only —
+    importing this module must never alter the engine."""
+    for mod in (_signatures, _components, DQ):
+        if hasattr(mod, "materialize"):
+            mod.materialize = lambda df, eager=True: df
 
 DEFAULT_QUERIES = [
     "minhash_signatures", "lsh_candidates", "verified_pairs",
@@ -40,6 +42,7 @@ DEFAULT_QUERIES = [
 
 
 def main() -> None:
+    _disable_materialize()
     out_dir, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:] or DEFAULT_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
